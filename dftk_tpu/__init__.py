@@ -1,0 +1,29 @@
+"""dftk_tpu: a TPU-native plane-wave density-functional theory framework.
+
+A from-scratch JAX/XLA/Pallas re-design with the capabilities of DFTK.jl
+(reference layout documented in SURVEY.md): plane-wave Kohn-Sham DFT with
+norm-conserving pseudopotentials, solved self-consistently with a batched
+LOBPCG eigensolver, k-point/spin parallelism over a jax.sharding device
+mesh, and derivatives (forces/stresses/response) via jax autodiff.
+
+Importing this package enables float64 (required for DFT accuracy).
+"""
+from . import config  # noqa: F401  (sets jax_enable_x64)
+
+from .models.model import Model
+from .models.standard import LDA, PBE, PBEsol, model_DFT, model_atomic
+from .models.elements import (ElementCoulomb, ElementGaussian, ElementPsp,
+                              atomic_symbol)
+from .models.psp_hgh import PspHgh, load_psp_hgh, parse_hgh
+from .models import smearing as Smearing
+from .basis import PlaneWaveBasis
+from .bzmesh import ExplicitKpoints, MonkhorstPack, kgrid_from_maximal_spacing
+from .ops.terms import (AtomicLocal, AtomicNonlocal, Entropy, Ewald,
+                        ExternalFromFourier, ExternalFromReal, Hartree,
+                        Kinetic, LocalNonlinearity, PspCorrection, Xc)
+from .ops.density import compute_density, guess_density, total_density
+from .scf.driver import self_consistent_field, SCFResult
+from .scf.mixing import DielectricMixing, KerkerMixing, SimpleMixing
+from .symmetry import SymOp
+
+__version__ = "0.1.0"

@@ -1,0 +1,40 @@
+"""Global dtype / precision policy for dftk_tpu.
+
+Plane-wave DFT needs ~1e-10 relative accuracy on energies.  The default policy
+is float64/complex128 end-to-end ("x64"); this works on CPU and on TPU (where
+f64 runs at reduced throughput).  For benchmarking the hot path we support a
+mixed policy where the FFT + GEMM heavy H*psi apply runs in complex64 while all
+reductions, Rayleigh-Ritz and energy accumulations stay in float64.
+
+The x64 flag must be set before JAX is first used; importing dftk_tpu does it.
+"""
+import os
+import dataclasses
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+
+@dataclasses.dataclass
+class Precision:
+    """Dtype policy carried by a PlaneWaveBasis."""
+    real: object = None       # jnp.float64
+    complex: object = None    # jnp.complex128
+
+    def __post_init__(self):
+        import jax.numpy as jnp
+        if self.real is None:
+            self.real = jnp.float64
+        if self.complex is None:
+            self.complex = jnp.complex128
+
+
+def default_precision():
+    return Precision()
+
+
+def mixed_precision():
+    """f32 wavefunctions / FFTs, f64 accumulation (set where supported)."""
+    import jax.numpy as jnp
+    return Precision(real=jnp.float32, complex=jnp.complex64)

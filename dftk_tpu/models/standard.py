@@ -1,0 +1,53 @@
+"""Standard model constructors (DFTK `src/standard_models.jl`).
+
+model_atomic: reduced Hartree-Fock without exchange-correlation
+model_DFT:    full Kohn-Sham with a functional set (LDA / PBE / ... or an
+              explicit list of functional names like [:lda_x, :lda_c_vwn])
+"""
+from typing import Optional, Sequence
+
+from ..ops.terms import (AtomicLocal, AtomicNonlocal, Entropy, Ewald, Hartree,
+                         Kinetic, PspCorrection, Xc)
+from .model import Model
+
+
+def _base_terms(temperature):
+    terms = [Kinetic(), AtomicLocal(), AtomicNonlocal(), Ewald(),
+             PspCorrection(), Hartree()]
+    if temperature and temperature > 0:
+        terms.append(Entropy())
+    return terms
+
+
+def model_atomic(lattice, atoms, positions, temperature=0.0, extra_terms=(),
+                 **kwargs):
+    terms = _base_terms(temperature) + list(extra_terms)
+    return Model(lattice=lattice, atoms=list(atoms), positions=list(positions),
+                 temperature=temperature, term_types=terms, **kwargs)
+
+
+def model_DFT(lattice, atoms, positions, functionals="LDA", temperature=0.0,
+              extra_terms=(), **kwargs):
+    terms = _base_terms(temperature) + [Xc(_as_names(functionals))] \
+        + list(extra_terms)
+    return Model(lattice=lattice, atoms=list(atoms), positions=list(positions),
+                 temperature=temperature, term_types=terms, **kwargs)
+
+
+def _as_names(functionals):
+    from ..ops.xc.functionals import FUNCTIONAL_SETS
+    if isinstance(functionals, str):
+        return FUNCTIONAL_SETS.get(functionals, (functionals,))
+    return tuple(functionals)
+
+
+def LDA(lattice, atoms, positions, **kwargs):
+    return model_DFT(lattice, atoms, positions, functionals="LDA", **kwargs)
+
+
+def PBE(lattice, atoms, positions, **kwargs):
+    return model_DFT(lattice, atoms, positions, functionals="PBE", **kwargs)
+
+
+def PBEsol(lattice, atoms, positions, **kwargs):
+    return model_DFT(lattice, atoms, positions, functionals="PBEsol", **kwargs)

@@ -1,0 +1,174 @@
+"""Hamiltonian assembly and application (the hot path).
+
+TPU-native redesign of DFTK's `terms/Hamiltonian.jl:86-192` "DftHamiltonian"
+fast path.  One batched function applies H to ALL k-points and bands at once:
+
+    H psi = kin .* psi  +  FFT_sphere(V(r) * iFFT_sphere(psi))  +  P D P^dag psi
+
+shapes: psi [nk, nb, nG];  scatter -> [nk, nb, n1, n2, n3] -> batched 3D FFT
+(XLA TPU FFT) -> pointwise multiply by the fused local potential -> FFT back
+-> gather;  the nonlocal part is two dense GEMMs contracting the G axis.
+Bands are optionally processed in chunks (lax.map) to bound the cube-space
+working set for large systems.
+
+The total local potential V fuses AtomicLocal + Hartree(rho) + Xc(rho)
+(DFTK `optimize_operators` does the same fusion, operators.jl:213-222).
+"""
+import math
+from functools import partial
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from . import fft as fftops
+from .terms import Terms, TermsData
+
+
+class Ham(NamedTuple):
+    """Everything needed to apply H at fixed potential (a jit-able pytree)."""
+    Gidx: Any            # [nk, nG] int32
+    mask: Any            # [nk, nG]
+    kin: Any             # [nk, nG] (includes kinetic scaling)
+    kspin: Any           # [nk] int32
+    V: Any               # [nspin, n1, n2, n3] total local potential
+    P: Any               # [nk, nG, nproj]
+    D: Any               # [nproj, nproj]
+
+
+def build_ham(basis_data, terms_data: TermsData, V_local):
+    return Ham(Gidx=basis_data.Gidx, mask=basis_data.mask,
+               kin=terms_data.kinetic_scale * basis_data.kin,
+               kspin=basis_data.kspin,
+               V=V_local, P=terms_data.P, D=terms_data.D)
+
+
+def apply_H(ham: Ham, psi, fft_size, volume, band_chunk: Optional[int] = None):
+    """H @ psi for psi [nk, nb, nG] -> [nk, nb, nG]."""
+    out = ham.kin[:, None, :] * psi
+
+    # ---- local potential: sphere -> cube -> r-space -> cube -> sphere -------
+    Vk = ham.V[ham.kspin]                                   # [nk, n1,n2,n3]
+
+    def local_block(psi_blk):
+        cube = jax.vmap(
+            lambda c, idx, m: fftops.scatter_to_cube(c, idx, m, fft_size)
+        )(psi_blk, ham.Gidx, ham.mask)
+        psir = jnp.fft.ifftn(cube, axes=(-3, -2, -1))       # norms cancel
+        vpsir = Vk[:, None] * psir
+        vcube = jnp.fft.fftn(vpsir, axes=(-3, -2, -1))
+        return jax.vmap(fftops.gather_from_cube)(vcube, ham.Gidx, ham.mask)
+
+    nb = psi.shape[1]
+    if band_chunk is None or band_chunk >= nb:
+        out = out + local_block(psi)
+    else:
+        nblk = -(-nb // band_chunk)
+        pad = nblk * band_chunk - nb
+        psi_p = jnp.pad(psi, ((0, 0), (0, pad), (0, 0)))
+        blocks = psi_p.reshape(psi.shape[0], nblk, band_chunk, psi.shape[2])
+        res = jax.lax.map(lambda b: local_block(b),
+                          jnp.moveaxis(blocks, 1, 0))
+        res = jnp.moveaxis(res, 0, 1).reshape(psi.shape[0], nblk * band_chunk, -1)
+        out = out + res[:, :nb]
+
+    # ---- nonlocal: P D P^dag (two GEMMs over the G axis) ---------------------
+    if ham.P.shape[-1] > 0:
+        Pd = jnp.einsum("kgp,kng->knp", ham.P.conj(), psi)
+        out = out + jnp.einsum("kgp,pq,knq->kng", ham.P, ham.D.astype(ham.P.dtype), Pd)
+
+    return out * ham.mask[:, None, :]
+
+
+# ---------------------------------------------------------------------------
+# Density-dependent potential assembly + energies
+# ---------------------------------------------------------------------------
+
+def xc_energy(functionals, rho, G_cube_cart, volume, scaling=1.0):
+    """Total XC energy for rho [nspin, n1,n2,n3]; fully differentiable.
+
+    For GGA functionals the density gradient is computed spectrally inside
+    this function, so jax.grad of it yields the full GGA potential
+    (the AD replacement for DFTK's divergence-theorem potential assembly,
+    terms/xc.jl:84-160).
+    """
+    if not functionals:
+        return jnp.asarray(0.0)
+    N = rho.shape[-1] * rho.shape[-2] * rho.shape[-3]
+    dvol = volume / N
+
+    sigma = None
+    if any(f.family == "gga" for f in functionals):
+        rho_G = jnp.fft.fftn(rho, axes=(-3, -2, -1))
+        # grad_a rho_s(r); G_cube_cart [n1,n2,n3,3] includes the 2 pi factor
+        grads = jnp.stack([
+            jnp.fft.ifftn(1j * G_cube_cart[..., a] * rho_G, axes=(-3, -2, -1)).real
+            for a in range(3)], axis=-1)                    # [nspin, n1,n2,n3, 3]
+        if rho.shape[0] == 1:
+            sigma = jnp.sum(grads * grads, axis=-1)         # [1, grid]
+        else:
+            saa = jnp.sum(grads[0] * grads[0], axis=-1)
+            sab = jnp.sum(grads[0] * grads[1], axis=-1)
+            sbb = jnp.sum(grads[1] * grads[1], axis=-1)
+            sigma = jnp.stack([saa, sab, sbb])
+
+    E = 0.0
+    for f in functionals:
+        E = E + jnp.sum(f.energy(rho, sigma))
+    return scaling * E * dvol
+
+
+def total_potential(terms: Terms, rho, G_cube_cart, volume):
+    """Fused local potential V [nspin, grid] + rho-dependent energy pieces.
+
+    rho: [nspin, n1, n2, n3].
+    Returns (V, energies: dict of scalars).
+    """
+    td = terms.data
+    nspin = rho.shape[0]
+    N = rho.shape[-1] * rho.shape[-2] * rho.shape[-3]
+    dvol = volume / N
+
+    rho_tot = jnp.sum(rho, axis=0)
+    energies = {}
+
+    V = jnp.broadcast_to(td.vloc_static, rho.shape).astype(rho.dtype)
+    energies["AtomicLocal"] = jnp.sum(rho_tot * td.vloc_static) * dvol
+
+    # Hartree
+    rho_G = jnp.fft.fftn(rho_tot)
+    VH = jnp.fft.ifftn(td.hartree_coeffs * rho_G).real
+    energies["Hartree"] = 0.5 * jnp.sum(VH * rho_tot) * dvol
+    V = V + VH[None]
+
+    # Xc via AD
+    if terms.xc:
+        exc, Vxc = jax.value_and_grad(
+            lambda r: xc_energy(terms.xc, r, G_cube_cart, volume,
+                                terms.xc_scaling))(rho)
+        energies["Xc"] = exc
+        V = V + Vxc / dvol
+
+    # Local nonlinearity (Gross-Pitaevskii style)
+    if terms.local_nonlinearity is not None:
+        f = terms.local_nonlinearity
+        en = lambda r: jnp.sum(f(jnp.sum(r, axis=0))) * dvol
+        e_val, v_nl = jax.value_and_grad(en)(rho)
+        energies["LocalNonlinearity"] = e_val
+        V = V + v_nl / dvol
+
+    return V, energies
+
+
+def psi_energies(ham: Ham, terms: Terms, psi, occupation, kweights):
+    """Kinetic + nonlocal energies from orbitals (occupation [nk, nb])."""
+    energies = {}
+    wocc = kweights[:, None] * occupation
+    abs2 = (psi.conj() * psi).real
+    energies["Kinetic"] = jnp.sum(wocc[:, :, None] * ham.kin[:, None, :] * abs2)
+    if ham.P.shape[-1] > 0:
+        Pd = jnp.einsum("kgp,kng->knp", ham.P.conj(), psi)
+        band_e = jnp.einsum("knp,pq,knq->kn", Pd.conj(),
+                            ham.D.astype(Pd.dtype), Pd).real
+        energies["AtomicNonlocal"] = jnp.sum(wocc * band_e)
+    return energies

@@ -1,0 +1,323 @@
+"""Energy terms and their instantiation on a PlaneWaveBasis.
+
+The reference's terms layer (DFTK `src/terms/*.jl`) builds, per term, one
+`RealFourierOperator` per k-point.  TPU-native redesign: instantiation
+precomputes *dense static arrays* bundled in a single `TermsData` pytree; the
+Hamiltonian apply is then one fused batched function over all k-points
+(`ops/hamiltonian.py`) instead of per-k operator objects.
+
+Builders (stored in Model.term_types):
+  Kinetic, AtomicLocal, AtomicNonlocal, Hartree, Xc, Ewald, PspCorrection,
+  Entropy, ExternalFromReal, ExternalFromFourier, LocalNonlinearity.
+
+Density-dependent potentials (Hartree, Xc, LocalNonlinearity) are assembled
+each SCF step in `total_potential`; density-independent ones are baked into
+`TermsData` at setup.
+"""
+import dataclasses
+import math
+from typing import Any, Callable, NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.elements import ElementPsp
+from ..utils.special import solid_harmonics_real, LM_INDEX
+from . import fft as fftops
+from .ewald import default_eta, energy_forces_ewald
+from .xc.functionals import Functional, resolve_functionals
+
+
+# ---------------------------------------------------------------------------
+# Term builder specs (what goes into Model.term_types)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class Kinetic:
+    scaling_factor: float = 1.0
+
+
+@dataclasses.dataclass(frozen=True)
+class AtomicLocal:
+    pass
+
+
+@dataclasses.dataclass(frozen=True)
+class AtomicNonlocal:
+    pass
+
+
+@dataclasses.dataclass(frozen=True)
+class Hartree:
+    scaling_factor: float = 1.0
+
+
+@dataclasses.dataclass(frozen=True)
+class Xc:
+    functionals: tuple = ()
+    scaling_factor: float = 1.0
+
+    def __init__(self, functionals=(), scaling_factor=1.0):
+        if isinstance(functionals, str):
+            functionals = (functionals,)
+        object.__setattr__(self, "functionals", tuple(functionals))
+        object.__setattr__(self, "scaling_factor", float(scaling_factor))
+
+
+@dataclasses.dataclass(frozen=True)
+class Ewald:
+    eta: Optional[float] = None
+
+
+@dataclasses.dataclass(frozen=True)
+class PspCorrection:
+    pass
+
+
+@dataclasses.dataclass(frozen=True)
+class Entropy:
+    pass
+
+
+@dataclasses.dataclass(frozen=True)
+class ExternalFromReal:
+    """potential(r_cart) -> V; evaluated on the real-space grid at setup."""
+    potential: Callable = None
+
+
+@dataclasses.dataclass(frozen=True)
+class ExternalFromFourier:
+    """potential(G_cart) -> V(G) (unnormalised); iFFT'd at setup."""
+    potential: Callable = None
+
+
+@dataclasses.dataclass(frozen=True)
+class LocalNonlinearity:
+    """Energy term  int f(rho)  (e.g. Gross-Pitaevskii C rho^alpha)."""
+    f: Callable = None
+
+
+# ---------------------------------------------------------------------------
+# Instantiated terms: one device pytree + static metadata
+# ---------------------------------------------------------------------------
+
+class TermsData(NamedTuple):
+    """Device arrays consumed by the jitted SCF step / H apply."""
+    vloc_static: Any      # [n1,n2,n3] spin-independent static local potential
+    hartree_coeffs: Any   # [n1,n2,n3] 4 pi / |G|^2 (0 at DC), scaled
+    P: Any                # [nk, nG, nproj] complex projector vectors (or [nk,nG,0])
+    D: Any                # [nproj, nproj] coupling coefficients
+    Gsq_cart: Any         # [n1,n2,n3] |G|^2 Cartesian (for Kerker & kernels)
+    kinetic_scale: Any    # scalar
+
+
+@dataclasses.dataclass
+class Terms:
+    """Static info + device TermsData for a basis."""
+    data: TermsData
+    E_ewald: float
+    E_psp_correction: float
+    xc: Sequence[Functional]
+    xc_scaling: float
+    has_entropy: bool
+    has_nonlocal: bool
+    hartree_scaling: float
+    local_nonlinearity: Optional[Callable]
+    ewald_forces: Optional[np.ndarray]   # reduced coords, [na,3]
+
+
+def instantiate_terms(basis) -> Terms:
+    model = basis.model
+    fft_size = basis.fft_size
+    types = list(model.term_types)
+
+    vloc = np.zeros(fft_size, dtype=np.float64)
+    hartree_coeffs = jnp.zeros(fft_size)
+    hartree_scaling = 0.0
+    P = None
+    D = None
+    E_ewald = 0.0
+    ewald_forces = None
+    E_psp = 0.0
+    xc_functionals: Sequence[Functional] = []
+    xc_scaling = 1.0
+    has_entropy = False
+    kinetic_scale = 1.0
+    local_nonlinearity = None
+
+    Gsq = basis.G_cube_cart_norm ** 2
+
+    for term in types:
+        if isinstance(term, Kinetic):
+            kinetic_scale = term.scaling_factor
+        elif isinstance(term, AtomicLocal):
+            vloc += _atomic_local_potential(basis)
+        elif isinstance(term, ExternalFromReal):
+            r_cart = np.einsum("ab,xyzb->xyza", model.lattice, basis.r_cube)
+            vloc += np.asarray(term.potential(r_cart), dtype=np.float64)
+        elif isinstance(term, ExternalFromFourier):
+            pot_G = np.asarray(term.potential(basis.G_cube_cart),
+                               dtype=np.complex128) / math.sqrt(model.unit_cell_volume)
+            vloc += np.asarray(
+                jax.device_get(fftops.irfft_cube(jnp.asarray(pot_G),
+                                                 model.unit_cell_volume)))
+        elif isinstance(term, AtomicNonlocal):
+            P, D = _build_nonlocal_projectors(basis)
+        elif isinstance(term, Hartree):
+            hartree_scaling = term.scaling_factor
+            coeffs = np.where(Gsq > 0, 4 * math.pi / np.where(Gsq > 0, Gsq, 1.0), 0.0)
+            hartree_coeffs = jnp.asarray(term.scaling_factor * coeffs)
+        elif isinstance(term, Xc):
+            xc_functionals = resolve_functionals(term.functionals)
+            xc_scaling = term.scaling_factor
+        elif isinstance(term, Ewald):
+            charges = np.array([at.charge_ionic() for at in model.atoms], dtype=float)
+            if len(charges) > 0:
+                eta = term.eta or default_eta(model.lattice)
+                E, F = energy_forces_ewald(model.lattice, charges,
+                                           np.stack(model.positions), eta=eta)
+                E_ewald = float(E)
+                ewald_forces = np.asarray(F)
+        elif isinstance(term, PspCorrection):
+            E_psp = _energy_psp_correction(model)
+        elif isinstance(term, Entropy):
+            has_entropy = True
+        elif isinstance(term, LocalNonlinearity):
+            local_nonlinearity = term.f
+        else:
+            raise NotImplementedError(f"Term {term} not implemented yet")
+
+    nk = basis.n_kpoints
+    nG = basis.nG_max
+    if P is None:
+        P = jnp.zeros((nk, nG, 0), dtype=jnp.complex128)
+        D = jnp.zeros((0, 0), dtype=jnp.float64)
+        has_nonlocal = False
+    else:
+        has_nonlocal = True
+
+    data = TermsData(
+        vloc_static=jnp.asarray(vloc),
+        hartree_coeffs=hartree_coeffs,
+        P=P, D=D,
+        Gsq_cart=jnp.asarray(Gsq),
+        kinetic_scale=jnp.asarray(kinetic_scale),
+    )
+    return Terms(data=data, E_ewald=E_ewald, E_psp_correction=E_psp,
+                 xc=xc_functionals, xc_scaling=xc_scaling,
+                 has_entropy=has_entropy, has_nonlocal=has_nonlocal,
+                 hartree_scaling=hartree_scaling,
+                 local_nonlinearity=local_nonlinearity,
+                 ewald_forces=ewald_forces)
+
+
+# ---------------------------------------------------------------------------
+# Atomic local potential: form factors x structure factors (terms/local.jl:108-140)
+# ---------------------------------------------------------------------------
+
+def _atomic_local_potential(basis, positions=None):
+    model = basis.model
+    if positions is None:
+        positions = model.positions
+    Gnorm = basis.G_cube_cart_norm.reshape(-1)                  # [N]
+    Gred = basis.G_cube.reshape(-1, 3).astype(float)            # [N,3]
+    pot = np.zeros(Gnorm.shape, dtype=np.complex128)
+    for group in model.atom_groups:
+        el = model.atoms[group[0]]
+        if not hasattr(el, "local_potential_fourier"):
+            continue
+        ff = np.asarray(el.local_potential_fourier(Gnorm))      # [N]
+        sf = np.zeros(Gnorm.shape, dtype=np.complex128)
+        for idx in group:
+            phase = -2 * math.pi * (Gred @ np.asarray(positions[idx]))
+            sf += np.exp(1j * phase)
+        pot += ff * sf
+    pot /= math.sqrt(model.unit_cell_volume)
+    pot_cube = jnp.asarray(pot.reshape(basis.fft_size))
+    return np.asarray(jax.device_get(
+        fftops.irfft_cube(pot_cube, model.unit_cell_volume)))
+
+
+# ---------------------------------------------------------------------------
+# Nonlocal projectors (terms/nonlocal.jl:166-244)
+# ---------------------------------------------------------------------------
+
+def count_n_proj(psp):
+    return psp.n_proj()
+
+
+def _build_nonlocal_projectors(basis):
+    """P[nk, nG, nproj] with  P[:, :, a] = ff * sf / sqrt(Omega),  D block diag.
+
+    Projector ordering per atom: l ascending, then m, then radial index i
+    (the D blocks are h[l] for every (l, m)).
+    """
+    model = basis.model
+    psp_groups = [g for g in model.atom_groups
+                  if isinstance(model.atoms[g[0]], ElementPsp)]
+    if not psp_groups:
+        return None, None
+
+    n_proj = sum(count_n_proj(model.atoms[g[0]].psp) * len(g) for g in psp_groups)
+    nk, nGmax = basis.n_kpoints, basis.nG_max
+
+    P = np.zeros((nk, nGmax, n_proj), dtype=np.complex128)
+    D = np.zeros((n_proj, n_proj), dtype=np.float64)
+    sqrt_vol = math.sqrt(model.unit_cell_volume)
+
+    Gpk = basis.Gpk_cart_np                  # [nk, nG, 3]
+    Gpk_norm = np.linalg.norm(Gpk, axis=-1)
+    Gred_pk = basis.Gred_np + basis.kcoords_spin[:, None, :]   # reduced k+G
+
+    offset = 0
+    for group in psp_groups:
+        el = model.atoms[group[0]]
+        psp = el.psp
+        lmax = psp.lmax
+        # angular parts: solid harmonics of the full (k+G) vectors
+        Y = solid_harmonics_real(Gpk, lmax)  # [nk, nG, (lmax+1)^2]
+
+        # radial parts per (l, i)
+        radial = {}
+        for l in range(lmax + 1):
+            for i in range(1, psp.n_proj_radial(l) + 1):
+                radial[(l, i)] = psp.projector_fourier(i, l, Gpk_norm)
+
+        np_atom = count_n_proj(psp)
+        for atom_idx in group:
+            r = np.asarray(model.positions[atom_idx])
+            sf = np.exp(-2j * math.pi * (Gred_pk @ r))          # [nk, nG]
+            col = offset
+            for l in range(lmax + 1):
+                il_factor = (-1j) ** l
+                nproj_l = psp.n_proj_radial(l)
+                h = np.array(psp.h[l]) if nproj_l else None
+                for m in range(-l, l + 1):
+                    ylm = Y[..., LM_INDEX[(l, m)]]
+                    for i in range(1, nproj_l + 1):
+                        P[:, :, col] = (sf * radial[(l, i)] * il_factor * ylm
+                                        / sqrt_vol)
+                        col += 1
+                    # coupling block for this (l, m)
+                    blk = slice(col - nproj_l, col)
+                    D[blk, blk] = h
+            assert col - offset == np_atom
+            offset += np_atom
+    assert offset == n_proj
+
+    P *= basis.mask_np[:, :, None]
+    return jnp.asarray(P), jnp.asarray(D)
+
+
+# ---------------------------------------------------------------------------
+# PspCorrection (terms/psp_correction.jl:26-35)
+# ---------------------------------------------------------------------------
+
+def _energy_psp_correction(model):
+    corr = 0.0
+    for group in model.atom_groups:
+        el = model.atoms[group[0]]
+        if isinstance(el, ElementPsp):
+            corr += len(group) * el.psp.energy_correction()
+    return corr * model.n_electrons / model.unit_cell_volume

@@ -1,0 +1,246 @@
+"""Exchange-correlation functionals in pure jnp (TPU-native libxc subset).
+
+The reference delegates XC evaluation to libxc (native C) through
+`src/DispatchFunctional.jl`.  Here the needed functionals are reimplemented
+as differentiable jnp expressions; potentials (and kernels for response) are
+obtained by `jax.grad` through the energy - including the GGA divergence
+term, since the density gradient is computed by FFT *inside* the
+differentiated graph.
+
+Implemented (names follow libxc):
+  lda_x, lda_c_vwn (VWN5), lda_c_pw (PW92),
+  gga_x_pbe, gga_c_pbe, gga_x_pbe_sol, gga_c_pbe_sol
+
+Each functional maps spin densities (and contracted gradients for GGA) to an
+energy density per unit volume; spin interpolation uses the standard
+(Oliver-Perdew / VWN) schemes.  Formulas from the original publications:
+Slater/Dirac exchange; Vosko-Wilk-Nusair 1980 (param. V); Perdew-Wang 1992;
+Perdew-Burke-Ernzerhof 1996 (+PBEsol 2008 constants).
+
+Conventions: rho has shape [nspin, ...] with nspin in {1, 2};
+sigma = |grad rho|^2 contractions with shape [3, ...] for nspin=2
+([1, ...] for nspin=1): sigma_aa, sigma_ab, sigma_bb.
+"""
+import dataclasses
+import math
+from typing import Callable, Optional
+
+import jax.numpy as jnp
+
+_RHO_EPS = 1e-14        # libxc-style density threshold
+
+
+def _safe_rho(rho):
+    return jnp.maximum(rho, _RHO_EPS)
+
+
+def _rs_from_rho(rho):
+    return (3 / (4 * math.pi * _safe_rho(rho))) ** (1 / 3)
+
+
+# ---------------------------------------------------------------------------
+# LDA exchange (Slater / Dirac)
+# ---------------------------------------------------------------------------
+
+_CX = -3 / 4 * (3 / math.pi) ** (1 / 3)
+
+
+def lda_x_energy(rho, sigma=None):
+    """Energy density per volume: sum_s 0.5 * e_x[2 rho_s] (exact spin scaling)."""
+    nspin = rho.shape[0]
+    if nspin == 1:
+        r = _safe_rho(rho[0])
+        return _CX * r ** (4 / 3)
+    ra, rb = _safe_rho(rho[0]), _safe_rho(rho[1])
+    return _CX * ((2 * ra) ** (4 / 3) + (2 * rb) ** (4 / 3)) / 2
+
+
+# ---------------------------------------------------------------------------
+# VWN5 correlation
+# ---------------------------------------------------------------------------
+
+def _vwn_eps(rs, A, x0, b, c):
+    x = jnp.sqrt(rs)
+    X = x * x + b * x + c
+    X0 = x0 * x0 + b * x0 + c
+    Q = math.sqrt(4 * c - b * b)
+    atn = jnp.arctan2(Q, 2 * x + b)
+    return A * (jnp.log(x * x / X) + 2 * b / Q * atn
+                - b * x0 / X0 * (jnp.log((x - x0) ** 2 / X)
+                                 + 2 * (b + 2 * x0) / Q * atn))
+
+
+_VWN_PARA = (0.0310907, -0.10498, 3.72744, 12.9352)
+_VWN_FERRO = (0.01554535, -0.32500, 7.06042, 18.0578)
+_VWN_STIFF = (-1 / (6 * math.pi ** 2), -0.0047584, 1.13107, 13.0045)
+_FZ_DD0 = 8 / (9 * (2 ** (4 / 3) - 2))   # f''(0)
+
+
+def _f_zeta(zeta):
+    return (((1 + zeta) ** (4 / 3) + (1 - zeta) ** (4 / 3) - 2)
+            / (2 ** (4 / 3) - 2))
+
+
+def lda_c_vwn_energy(rho, sigma=None):
+    nspin = rho.shape[0]
+    rho_tot = _safe_rho(jnp.sum(rho, axis=0))
+    rs = _rs_from_rho(rho_tot)
+    eps_p = _vwn_eps(rs, *_VWN_PARA)
+    if nspin == 1:
+        return rho_tot * eps_p
+    zeta = jnp.clip((rho[0] - rho[1]) / rho_tot, -1 + 1e-15, 1 - 1e-15)
+    eps_f = _vwn_eps(rs, *_VWN_FERRO)
+    alpha = _vwn_eps(rs, *_VWN_STIFF)
+    fz = _f_zeta(zeta)
+    z4 = zeta ** 4
+    eps = eps_p + alpha * fz / _FZ_DD0 * (1 - z4) + (eps_f - eps_p) * fz * z4
+    return rho_tot * eps
+
+
+# ---------------------------------------------------------------------------
+# PW92 correlation
+# ---------------------------------------------------------------------------
+
+def _pw_G(rs, A, a1, b1, b2, b3, b4, p=1.0):
+    srs = jnp.sqrt(rs)
+    den = 2 * A * (b1 * srs + b2 * rs + b3 * rs * srs + b4 * rs ** (p + 1))
+    return -2 * A * (1 + a1 * rs) * jnp.log1p(1.0 / den)
+
+
+_PW_PARA = (0.031091, 0.21370, 7.5957, 3.5876, 1.6382, 0.49294)
+_PW_FERRO = (0.015545, 0.20548, 14.1189, 6.1977, 3.3662, 0.62517)
+_PW_STIFF = (0.016887, 0.11125, 10.357, 3.6231, 0.88026, 0.49671)
+
+
+def _pw_eps(rs, zeta=None):
+    eps_p = _pw_G(rs, *_PW_PARA)
+    if zeta is None:
+        return eps_p
+    eps_f = _pw_G(rs, *_PW_FERRO)
+    alpha = -_pw_G(rs, *_PW_STIFF)   # fit is for -alpha_c
+    fz = _f_zeta(zeta)
+    z4 = zeta ** 4
+    return eps_p + alpha * fz / _FZ_DD0 * (1 - z4) + (eps_f - eps_p) * fz * z4
+
+
+def lda_c_pw_energy(rho, sigma=None):
+    nspin = rho.shape[0]
+    rho_tot = _safe_rho(jnp.sum(rho, axis=0))
+    rs = _rs_from_rho(rho_tot)
+    if nspin == 1:
+        return rho_tot * _pw_eps(rs)
+    zeta = jnp.clip((rho[0] - rho[1]) / rho_tot, -1 + 1e-15, 1 - 1e-15)
+    return rho_tot * _pw_eps(rs, zeta)
+
+
+# ---------------------------------------------------------------------------
+# PBE exchange & correlation (and PBEsol variants)
+# ---------------------------------------------------------------------------
+
+_PBE_KAPPA = 0.8040
+_PBE_MU = 0.2195149727645171          # beta * pi^2 / 3
+_PBESOL_MU = 10 / 81
+_PBE_BETA = 0.06672455060314922
+_PBESOL_BETA = 0.046
+_PBE_GAMMA = (1 - math.log(2.0)) / math.pi ** 2
+
+
+def _pbe_x_unpol(rho, sigma, mu, kappa):
+    r = _safe_rho(rho)
+    kf = (3 * math.pi ** 2 * r) ** (1 / 3)
+    s2 = sigma / jnp.maximum((2 * kf * r) ** 2, 1e-40)
+    Fx = 1 + kappa - kappa / (1 + mu * s2 / kappa)
+    return _CX * r ** (4 / 3) * Fx
+
+
+def _gga_x_energy(rho, sigma, mu, kappa):
+    nspin = rho.shape[0]
+    if nspin == 1:
+        return _pbe_x_unpol(rho[0], sigma[0], mu, kappa)
+    # exact spin scaling: E_x[ra,rb] = (E_x[2ra] + E_x[2rb])/2
+    ea = _pbe_x_unpol(2 * rho[0], 4 * sigma[0], mu, kappa)
+    eb = _pbe_x_unpol(2 * rho[1], 4 * sigma[2], mu, kappa)
+    return (ea + eb) / 2
+
+
+def gga_x_pbe_energy(rho, sigma):
+    return _gga_x_energy(rho, sigma, _PBE_MU, _PBE_KAPPA)
+
+
+def gga_x_pbe_sol_energy(rho, sigma):
+    return _gga_x_energy(rho, sigma, _PBESOL_MU, _PBE_KAPPA)
+
+
+def _gga_c_pbe(rho, sigma, beta):
+    nspin = rho.shape[0]
+    rho_tot = _safe_rho(jnp.sum(rho, axis=0))
+    rs = _rs_from_rho(rho_tot)
+    if nspin == 1:
+        zeta = jnp.zeros_like(rho_tot)
+        sig = sigma[0]
+    else:
+        zeta = jnp.clip((rho[0] - rho[1]) / rho_tot, -1 + 1e-15, 1 - 1e-15)
+        sig = sigma[0] + 2 * sigma[1] + sigma[2]
+    eps_lda = _pw_eps(rs, None if nspin == 1 else zeta)
+
+    phi = ((1 + zeta) ** (2 / 3) + (1 - zeta) ** (2 / 3)) / 2
+    kf = (3 * math.pi ** 2 * rho_tot) ** (1 / 3)
+    ks = jnp.sqrt(4 * kf / math.pi)
+    t2 = sig / jnp.maximum((2 * phi * ks * rho_tot) ** 2, 1e-40)
+
+    gamma = _PBE_GAMMA
+    phi3 = phi ** 3
+    A_arg = jnp.exp(-eps_lda / (gamma * phi3))
+    A = beta / gamma / jnp.maximum(A_arg - 1, 1e-40)
+    num = 1 + A * t2
+    H = gamma * phi3 * jnp.log1p(beta / gamma * t2 * num
+                                 / (num + (A * t2) ** 2))
+    return rho_tot * (eps_lda + H)
+
+
+def gga_c_pbe_energy(rho, sigma):
+    return _gga_c_pbe(rho, sigma, _PBE_BETA)
+
+
+def gga_c_pbe_sol_energy(rho, sigma):
+    return _gga_c_pbe(rho, sigma, _PBESOL_BETA)
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class Functional:
+    name: str
+    family: str                        # "lda" | "gga"
+    energy: Callable                   # (rho, sigma) -> energy density / volume
+
+
+FUNCTIONALS = {
+    "lda_x": Functional("lda_x", "lda", lda_x_energy),
+    "lda_c_vwn": Functional("lda_c_vwn", "lda", lda_c_vwn_energy),
+    "lda_c_pw": Functional("lda_c_pw", "lda", lda_c_pw_energy),
+    "gga_x_pbe": Functional("gga_x_pbe", "gga", gga_x_pbe_energy),
+    "gga_c_pbe": Functional("gga_c_pbe", "gga", gga_c_pbe_energy),
+    "gga_x_pbe_sol": Functional("gga_x_pbe_sol", "gga", gga_x_pbe_sol_energy),
+    "gga_c_pbe_sol": Functional("gga_c_pbe_sol", "gga", gga_c_pbe_sol_energy),
+}
+
+# Named functional sets mirroring DFTK standard_models.jl:163-166
+FUNCTIONAL_SETS = {
+    "LDA": ("lda_x", "lda_c_pw"),
+    "PBE": ("gga_x_pbe", "gga_c_pbe"),
+    "PBEsol": ("gga_x_pbe_sol", "gga_c_pbe_sol"),
+}
+
+
+def resolve_functionals(functionals):
+    if isinstance(functionals, str):
+        if functionals in FUNCTIONAL_SETS:
+            names = FUNCTIONAL_SETS[functionals]
+        else:
+            names = (functionals,)
+    else:
+        names = tuple(functionals)
+    return [FUNCTIONALS[n] for n in names]

@@ -1,0 +1,203 @@
+"""Self-consistent field driver.
+
+Mirrors the structure of DFTK `src/scf/self_consistent_field.jl:80-289`:
+an outer Python fixed-point loop around ONE jitted step
+
+    rho_in -> V(rho_in) -> LOBPCG (warm-started) -> occupations / Fermi level
+           -> rho_out -> energies at rho_out
+
+with Anderson-accelerated, Kerker/Simple-preconditioned density updates and
+an adaptive eigensolver tolerance schedule (AdaptiveDiagtol,
+scf_callbacks.jl:191-230).  The step is one compiled XLA program; only the
+small mixing/convergence logic runs in Python between steps.
+"""
+import dataclasses
+import time
+from functools import partial
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import hamiltonian as hamops
+from ..ops.density import compute_density, guess_density, make_symmetrizer
+from ..ops.eigen.lobpcg import lobpcg, ortho_qr
+from ..ops.occupation import compute_occupation, entropy_energy
+from .anderson import AndersonAcceleration
+from .mixing import KerkerMixing, SimpleMixing
+
+
+@dataclasses.dataclass
+class SCFResult:
+    basis: Any
+    energies: Dict[str, float]
+    eigenvalues: np.ndarray      # [nk, nb]
+    occupation: np.ndarray       # [nk, nb]
+    psi: Any                     # [nk, nb, nG] device array
+    rho: Any                     # [nspin, n1,n2,n3]
+    epsF: float
+    converged: bool
+    n_iter: int
+    n_bands_converge: int
+    history_Etot: list
+    history_Drho: list
+    n_matvec: int
+    runtime_s: float
+    V_local: Any = None          # total local potential at convergence
+
+    @property
+    def total_energy(self):
+        return self.energies["total"]
+
+
+def random_orbitals(basis, n_bands, seed=42):
+    key = jax.random.PRNGKey(seed)
+    shape = (basis.n_kpoints, n_bands, basis.nG_max)
+    k1, k2 = jax.random.split(key)
+    X = (jax.random.normal(k1, shape) + 1j * jax.random.normal(k2, shape))
+    X = X * basis.data.mask[:, None, :]
+    return ortho_qr(X)
+
+
+def default_mixing(model):
+    if model.temperature > 0:
+        return KerkerMixing()
+    return SimpleMixing()
+
+
+def self_consistent_field(
+        basis,
+        tol: float = 1e-6,
+        maxiter: int = 100,
+        rho=None,
+        psi=None,
+        n_bands: Optional[int] = None,
+        n_extra_bands: Optional[int] = None,
+        mixing=None,
+        damping: float = 0.8,
+        anderson_depth: int = 10,
+        eigensolver_maxiter: int = 100,
+        diagtol_max: float = 5e-3,
+        diagtol_min: float = None,
+        diagtol_ratio: float = 0.2,
+        is_converged: str = "density",       # "density" | "energy"
+        band_chunk: Optional[int] = None,
+        callback: Optional[Callable] = None,
+        seed: int = 42,
+) -> SCFResult:
+    t0 = time.time()
+    model = basis.model
+    terms = basis.terms
+    nspin = model.n_spin_components
+
+    if n_bands is None:
+        n_bands = model.default_n_bands()
+    if n_extra_bands is None:
+        n_extra_bands = max(3, n_bands // 10)
+    nb_total = n_bands + n_extra_bands
+
+    if rho is None:
+        rho = guess_density(basis)
+    if psi is None:
+        psi = random_orbitals(basis, nb_total, seed=seed)
+    if mixing is None:
+        mixing = default_mixing(model)
+    if diagtol_min is None:
+        diagtol_min = max(tol / 100, 1e-12)
+
+    symmetrizer = make_symmetrizer(basis)
+    bd = basis.data
+    td = terms.data
+    fft_size = basis.fft_size
+    volume = model.unit_cell_volume
+    dvol = basis.dvol
+    Gcart = jnp.asarray(basis.G_cube_cart)
+    filled = model.filled_occupation
+    temperature = model.temperature
+    smearing = model.smearing
+
+    def scf_step(rho_in, psi_in, diagtol):
+        V, _ = hamops.total_potential(terms, rho_in, Gcart, volume)
+        ham = hamops.build_ham(bd, td, V)
+        applyH = lambda p: hamops.apply_H(ham, p, fft_size, volume,
+                                          band_chunk=band_chunk)
+        res = lobpcg(applyH, psi_in, ham.kin, bd.mask, tol=diagtol,
+                     maxiter=eigensolver_maxiter, n_conv=n_bands)
+        occ, epsF = compute_occupation(res.eigenvalues, bd.kweights,
+                                       model.n_electrons, filled,
+                                       temperature, smearing)
+        rho_out = compute_density(bd, res.X, occ, fft_size, volume, nspin,
+                                  symmetrizer=symmetrizer)
+
+        # energies evaluated at rho_out (consistent at convergence)
+        V_out, energies = hamops.total_potential(terms, rho_out, Gcart, volume)
+        ham_out = hamops.build_ham(bd, td, V_out)
+        energies.update(hamops.psi_energies(ham_out, terms, res.X, occ,
+                                            bd.kweights))
+        if terms.has_entropy:
+            energies["Entropy"] = entropy_energy(
+                res.eigenvalues, bd.kweights, epsF, temperature, smearing, filled)
+        return (rho_out, res.X, res.eigenvalues, occ, epsF, energies,
+                res.n_iter, res.n_matvec, V_out)
+
+    scf_step = jax.jit(scf_step)
+
+    anderson = AndersonAcceleration(m=anderson_depth)
+    Gsq = td.Gsq_cart
+    mix = jax.jit(lambda dF: mixing.mix_density(dF, Gsq))
+
+    history_E, history_drho = [], []
+    E_prev = None
+    converged = False
+    diagtol = diagtol_max
+    n_matvec_total = 0
+    info = None
+
+    for it in range(maxiter):
+        (rho_out, psi, eigvals, occ, epsF, energies, eig_iters, nmv,
+         V_out) = scf_step(rho, psi, diagtol)
+        n_matvec_total += int(nmv)
+
+        E_const = {"Ewald": terms.E_ewald, "PspCorrection": terms.E_psp_correction}
+        E_total = float(sum(jax.device_get(v) for v in energies.values())
+                        + sum(E_const.values()))
+        delta_F = rho_out - rho
+        drho = float(jnp.linalg.norm(delta_F)) * np.sqrt(dvol)
+        history_E.append(E_total)
+        history_drho.append(drho)
+
+        if callback is not None:
+            callback(dict(n_iter=it + 1, E=E_total, drho=drho, epsF=float(epsF),
+                          eig_iters=int(eig_iters)))
+
+        if is_converged == "density":
+            converged = drho < tol
+        else:
+            converged = E_prev is not None and abs(E_total - E_prev) < tol
+        E_prev = E_total
+        info = (rho_out, eigvals, occ, epsF, energies, E_const, V_out)
+        if converged:
+            rho = rho_out
+            break
+
+        # density update: precondition + Anderson + damping
+        delta_rho = mix(delta_F)
+        rho = anderson(rho, delta_rho, damping)
+        # adaptive eigensolver tolerance, tightening with density residual
+        diagtol = min(diagtol, max(diagtol_ratio * drho, diagtol_min))
+
+    rho_out, eigvals, occ, epsF, energies, E_const, V_out = info
+    energies_out = {k: float(jax.device_get(v)) for k, v in energies.items()}
+    energies_out.update(E_const)
+    energies_out["total"] = float(sum(energies_out.values()))
+
+    return SCFResult(
+        basis=basis, energies=energies_out,
+        eigenvalues=np.asarray(jax.device_get(eigvals)),
+        occupation=np.asarray(jax.device_get(occ)),
+        psi=psi, rho=rho_out, epsF=float(epsF), converged=bool(converged),
+        n_iter=it + 1, n_bands_converge=n_bands,
+        history_Etot=history_E, history_Drho=history_drho,
+        n_matvec=n_matvec_total, runtime_s=time.time() - t0,
+        V_local=V_out)

@@ -1,0 +1,62 @@
+"""SCF mixing preconditioners (DFTK `src/scf/mixing.jl`).
+
+A mixing maps the density residual delta_F = rho_out - rho_in to a
+preconditioned residual delta_rho before damping/acceleration:
+  * SimpleMixing:  identity (times a factor)
+  * KerkerMixing:  G^2 / (kTF^2 + G^2) screening in Fourier space - removes
+    the long-wavelength charge-sloshing modes of metals
+  * DielectricMixing: Levitt-style model dielectric eps(G)
+
+All are elementwise multiplies on the Fourier cube (jit-friendly).  The
+spin-density channel is passed through unmixed (the reference does the same
+for Kerker, mixing.jl:54-103).
+"""
+import dataclasses
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class SimpleMixing:
+    alpha: float = 0.8
+
+    def mix_density(self, delta_F, Gsq):
+        return delta_F
+
+
+@dataclasses.dataclass(frozen=True)
+class KerkerMixing:
+    """delta_rho(G) = delta_F(G) * G^2/(kTF^2 + G^2); DC component killed."""
+    kTF: float = 0.8
+    alpha: float = 0.8
+
+    def mix_density(self, delta_F, Gsq):
+        factor = Gsq / (self.kTF ** 2 + Gsq)
+        return _apply_fourier_factor_total(delta_F, factor)
+
+
+@dataclasses.dataclass(frozen=True)
+class DielectricMixing:
+    """Model dielectric of Levitt: eps^-1 with parameters (epsilon_r, kTF)."""
+    epsilon_r: float = 10.0
+    kTF: float = 0.8
+    alpha: float = 0.8
+
+    def mix_density(self, delta_F, Gsq):
+        # eps(G) = 1 + (eps_r - 1) kTF^2 / (kTF^2 + G^2); mix with 1/eps
+        eps = 1 + (self.epsilon_r - 1) * self.kTF ** 2 / (self.kTF ** 2 + Gsq)
+        return _apply_fourier_factor_total(delta_F, 1.0 / eps)
+
+
+def _apply_fourier_factor_total(delta_F, factor):
+    """Apply a Fourier-space factor to the *total* density channel only.
+
+    delta_F [nspin, n1,n2,n3]; for collinear spin the (alpha - beta) channel
+    passes through unchanged.
+    """
+    total = jnp.sum(delta_F, axis=0)
+    mixed_tot = jnp.fft.ifftn(factor * jnp.fft.fftn(total)).real
+    if delta_F.shape[0] == 1:
+        return mixed_tot[None]
+    spin = delta_F[0] - delta_F[1]
+    return jnp.stack([(mixed_tot + spin) / 2, (mixed_tot - spin) / 2])
