@@ -64,8 +64,12 @@ class PlaneWaveBasis:
             self.symmetries_respect_rgrid = self.fft_size is None
 
         # --- k-points: IBZ reduction with the model symmetries ---------------
+        # Only ops mapping the full (reducible) k-grid onto itself may be used
+        # for the reduction; this matters for shifted Monkhorst-Pack meshes
+        # (mirrors spglib's stabilized-mesh behaviour in the reference).
         if self.use_symmetries_for_kpoint_reduction:
-            ksym = model.symmetries
+            ksym = symmetries_preserving_kgrid(
+                model.symmetries, self.kgrid.reducible_kcoords(), unfold=False)
         else:
             ksym = [SymOp.identity()]
         kcoords, kweights = self.kgrid.irreducible_kcoords(ksym)

@@ -54,6 +54,12 @@ class Element:
     def local_potential_fourier(self, p):
         raise NotImplementedError
 
+    def local_potential_fourier_sq(self, psq):
+        """Fourier local potential as a function of p^2 (autodiff-smooth)."""
+        import numpy as _np
+        xp = _np if isinstance(psq, _np.ndarray) else __import__("jax.numpy", fromlist=["x"])
+        return self.local_potential_fourier(xp.sqrt(psq))
+
     def has_valence_density(self):
         return False
 
@@ -89,6 +95,9 @@ class ElementPsp(Element):
     def local_potential_fourier(self, p):
         return self.psp.local_fourier(p)
 
+    def local_potential_fourier_sq(self, psq):
+        return self.psp.local_fourier_sq(psq)
+
     def local_potential_real(self, r):
         return self.psp.local_real(r)
 
@@ -103,10 +112,13 @@ class ElementCoulomb(Element):
 
     def local_potential_fourier(self, p):
         """-4 pi Z / p^2; zero DC (compensating background)."""
+        return self.local_potential_fourier_sq(p * p)
+
+    def local_potential_fourier_sq(self, psq):
         import numpy as _np
-        xp = _np if isinstance(p, _np.ndarray) else __import__("jax.numpy", fromlist=["x"])
-        ps = xp.where(p == 0, 1.0, p)
-        return xp.where(p == 0, 0.0, -4 * math.pi * self.Z / (ps * ps))
+        xp = _np if isinstance(psq, _np.ndarray) else __import__("jax.numpy", fromlist=["x"])
+        ps = xp.where(psq == 0, 1.0, psq)
+        return xp.where(psq == 0, 0.0, -4 * math.pi * self.Z / ps)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -117,8 +129,11 @@ class ElementGaussian(Element):
     symbol: str = "X"
 
     def local_potential_fourier(self, p):
-        xp = np if isinstance(p, np.ndarray) else __import__("jax.numpy", fromlist=["x"])
-        return -self.alpha * xp.exp(-((p * self.L) ** 2) / 2)
+        return self.local_potential_fourier_sq(p * p)
+
+    def local_potential_fourier_sq(self, psq):
+        xp = np if isinstance(psq, np.ndarray) else __import__("jax.numpy", fromlist=["x"])
+        return -self.alpha * xp.exp(-(psq * self.L ** 2) / 2)
 
     def local_potential_real(self, r):
         xp = np if isinstance(r, np.ndarray) else __import__("jax.numpy", fromlist=["x"])

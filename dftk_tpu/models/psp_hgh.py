@@ -60,9 +60,16 @@ class PspHgh:
 
         Vectorised over p (numpy or jnp array).  p=0 -> 0.
         """
-        xp = _xp(p)
-        t = p * self.rloc
-        t2 = t * t
+        return self.local_fourier_sq(p * p)
+
+    def local_fourier_sq(self, psq):
+        """Same as local_fourier but as a function of p^2.
+
+        The HGH forms are even in p; taking p^2 keeps the expression smooth
+        under autodiff at p=0 (no sqrt in the graph - needed for stresses).
+        """
+        xp = _xp(psq)
+        t2 = psq * self.rloc ** 2
         c1, c2, c3, c4 = self.cloc
         P = (c1
              + c2 * (3 - t2)
@@ -92,10 +99,13 @@ class PspHgh:
 
         i is 1-based (as in the published tables).  Vectorised over p.
         """
-        xp = _xp(p)
+        return self.projector_fourier_sq(i, l, p * p)
+
+    def projector_fourier_sq(self, i, l, psq):
+        """projector_fourier as a function of p^2 (autodiff-smooth at p=0)."""
+        xp = _xp(psq)
         rp = self.rp[l]
-        t = p * rp
-        t2 = t * t
+        t2 = psq * rp * rp
         common = (4 * math.pi ** (5 / 4) * math.sqrt(2.0 ** (l + 1) * rp ** 3)
                   * xp.exp(-t2 / 2))
         if l == 0:

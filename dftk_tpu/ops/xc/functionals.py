@@ -134,6 +134,34 @@ def lda_c_pw_energy(rho, sigma=None):
 
 
 # ---------------------------------------------------------------------------
+# Teter 93 combined XC (the Pade fit used alongside GTH psps; GTH96 appendix)
+# ---------------------------------------------------------------------------
+
+_T93_A = (0.4581652932831429, 2.217058676663745, 0.7405551735357053,
+          0.01968227878617998)
+_T93_DA = (0.119086804055547, 0.6157402568883345, 0.1574201515892867,
+           0.003532336663397157)
+_T93_B = (1.0, 4.504130959426697, 1.110667363742916, 0.02359291751427506)
+_T93_DB = (0.0, 0.2673612973836267, 0.2052004607777787, 0.004200005045691381)
+
+
+def lda_xc_teter93_energy(rho, sigma=None):
+    nspin = rho.shape[0]
+    rho_tot = _safe_rho(jnp.sum(rho, axis=0))
+    rs = _rs_from_rho(rho_tot)
+    if nspin == 1:
+        fz = 0.0
+    else:
+        zeta = jnp.clip((rho[0] - rho[1]) / rho_tot, -1 + 1e-15, 1 - 1e-15)
+        fz = _f_zeta(zeta)
+    a = [ai + fz * dai for ai, dai in zip(_T93_A, _T93_DA)]
+    b = [bi + fz * dbi for bi, dbi in zip(_T93_B, _T93_DB)]
+    num = a[0] + rs * (a[1] + rs * (a[2] + rs * a[3]))
+    den = rs * (b[0] + rs * (b[1] + rs * (b[2] + rs * b[3])))
+    return rho_tot * (-num / den)
+
+
+# ---------------------------------------------------------------------------
 # PBE exchange & correlation (and PBEsol variants)
 # ---------------------------------------------------------------------------
 
@@ -221,6 +249,7 @@ FUNCTIONALS = {
     "lda_x": Functional("lda_x", "lda", lda_x_energy),
     "lda_c_vwn": Functional("lda_c_vwn", "lda", lda_c_vwn_energy),
     "lda_c_pw": Functional("lda_c_pw", "lda", lda_c_pw_energy),
+    "lda_xc_teter93": Functional("lda_xc_teter93", "lda", lda_xc_teter93_energy),
     "gga_x_pbe": Functional("gga_x_pbe", "gga", gga_x_pbe_energy),
     "gga_c_pbe": Functional("gga_c_pbe", "gga", gga_c_pbe_energy),
     "gga_x_pbe_sol": Functional("gga_x_pbe_sol", "gga", gga_x_pbe_sol_energy),

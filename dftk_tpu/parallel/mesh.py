@@ -53,6 +53,10 @@ def pad_basis_kpoints(basis, multiple):
         [basis.kin_np, np.repeat(basis.kin_np[:1], pad, axis=0)], axis=0)
     basis.Gpk_cart_np = np.concatenate(
         [basis.Gpk_cart_np, np.repeat(basis.Gpk_cart_np[:1], pad, axis=0)], axis=0)
+    basis.Gred_np = np.concatenate(
+        [basis.Gred_np, np.repeat(basis.Gred_np[:1], pad, axis=0)], axis=0)
+    basis.nG_per_k = np.concatenate(
+        [basis.nG_per_k, np.repeat(basis.nG_per_k[:1], pad)], axis=0)
     basis.kweights = pad0(basis.kweights)
     basis.kspin = pad0(basis.kspin)
     basis.kcoords_spin = np.concatenate(

@@ -205,17 +205,20 @@ def unfold_kcoords(kcoords, symmetries):
     return np.array(out)
 
 
-def symmetries_preserving_kgrid(symmetries, kcoords):
+def symmetries_preserving_kgrid(symmetries, kcoords, unfold=True):
     """Keep ops whose reciprocal rotation S maps the k-grid onto itself.
 
     Like the reference (symmetry.jl:162-172), the provided k-points are first
     unfolded by all candidate symmetries (they may be an irreducible wedge),
-    then closure of that full set is required.
+    then closure of that full set is required.  Pass unfold=False when
+    kcoords is already a full (reducible) grid - then closure of exactly
+    that set is required, which is the correct pre-filter before IBZ
+    reduction of shifted Monkhorst-Pack meshes.
     """
     kcoords = np.asarray(kcoords, dtype=float)
     if len(kcoords) == 0:
         return symmetries
-    full = unfold_kcoords(kcoords, symmetries)
+    full = unfold_kcoords(kcoords, symmetries) if unfold else kcoords
 
     keys = set()
     for k in full:
