@@ -1,0 +1,114 @@
+#!/usr/bin/env python
+"""Benchmark: H*Psi band-applies/sec/chip on the headline silicon workload.
+
+Runs on whatever accelerator JAX finds (the driver runs this on one real TPU
+chip); uses the split-real engine (f32, complex-free device code - the only
+mode the benchmark TPU backend supports; kernels/dft_matmul.py).
+
+Prints ONE json line:
+  {"metric": ..., "value": N, "unit": "band_applies_per_s", "vs_baseline": r}
+
+vs_baseline compares against the reference-style CPU execution measured for
+the same problem: DFTK's production habitat is one CPU node; we recorded the
+equivalent complex-f64 H*Psi throughput of this very workload on this
+container's CPU (BASELINE_CPU_APPLIES_PER_S below).  r > 1 means the chip
+beats the CPU baseline.
+"""
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("DFTK_TPU_X64", "0")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np  # noqa: E402
+
+# Complex-f64 apply throughput of the same workload on this container's CPU
+# (measured via tools/bench_cpu_baseline.py; update when the workload changes).
+BASELINE_CPU_APPLIES_PER_S = 331.9
+
+
+def build_problem(n_rep=2, Ecut=10.0):
+    """Si supercell, Gamma-point: the Si256-direction headline workload."""
+    import dftk_tpu as dftk
+    a = 5.131570667152971
+    prim = np.array([[0.0, a, a], [a, 0.0, a], [a, a, 0.0]])
+    lattice = prim * n_rep
+    Si = dftk.ElementPsp.from_symbol("Si", psp="lda/si-q4")
+    atoms, positions = [], []
+    base = [np.ones(3) / 8, -np.ones(3) / 8]
+    for i in range(n_rep):
+        for j in range(n_rep):
+            for k in range(n_rep):
+                for b in base:
+                    atoms.append(Si)
+                    positions.append((b + np.array([i, j, k])) / n_rep)
+    model = dftk.model_DFT(lattice, atoms, positions,
+                           functionals=["lda_x", "lda_c_vwn"],
+                           symmetries=False)
+    basis = dftk.PlaneWaveBasis(model, Ecut=Ecut, kgrid=(1, 1, 1))
+    return basis
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import dftk_tpu  # noqa: F401  (sets precision policy)
+    from dftk_tpu.ops.engine_split import (apply_H_split, make_split_ham,
+                                           prepare_split_data,
+                                           total_potential_split)
+    from dftk_tpu.ops.density import guess_density
+    from dftk_tpu.ops.eigen.lobpcg import ortho_qr
+
+    n_rep = int(os.environ.get("DFTK_BENCH_NREP", "2"))
+    Ecut = float(os.environ.get("DFTK_BENCH_ECUT", "10"))
+    nb = int(os.environ.get("DFTK_BENCH_NBANDS", "64"))
+
+    basis = build_problem(n_rep=n_rep, Ecut=Ecut)
+    model = basis.model
+    sd = prepare_split_data(basis, dtype=jnp.float32)
+    rho = jnp.asarray(np.asarray(jax.device_get(guess_density(basis))),
+                      dtype=jnp.float32)
+    V, _ = jax.jit(lambda r: total_potential_split(basis.terms, sd, r,
+                                                   model.unit_cell_volume))(rho)
+    ham = make_split_ham(sd, V)
+
+    nbr = 2 * nb
+    key = jax.random.PRNGKey(0)
+    mask2 = jnp.concatenate([sd.mask, sd.mask], axis=-1)
+    U = jax.random.normal(key, (basis.n_kpoints, nbr, 2 * basis.nG_max),
+                          dtype=jnp.float32) * mask2[:, None, :]
+    U = ortho_qr(U)
+
+    fft_size = basis.fft_size
+    vol = model.unit_cell_volume
+    f = jax.jit(lambda h, u: apply_H_split(h, u, fft_size, vol))
+
+    out = jax.block_until_ready(f(ham, U))         # compile
+    # warm-up + measure
+    for _ in range(3):
+        out = f(ham, out)
+    jax.block_until_ready(out)
+    n_iter = 20
+    t0 = time.time()
+    o = U
+    for _ in range(n_iter):
+        o = f(ham, o)
+    jax.block_until_ready(o)
+    dt = time.time() - t0
+
+    # one realified band-vector pair == one complex band apply
+    applies = n_iter * basis.n_kpoints * nb
+    value = applies / dt
+    print(json.dumps({
+        "metric": f"HPsi band-applies/s/chip (Si{2 * n_rep**3} Gamma, "
+                  f"Ecut={Ecut}, fft={fft_size}, nb={nb}, f32 split engine)",
+        "value": round(value, 1),
+        "unit": "band_applies_per_s",
+        "vs_baseline": round(value / BASELINE_CPU_APPLIES_PER_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -13,7 +13,12 @@ import dataclasses
 
 import jax
 
-jax.config.update("jax_enable_x64", True)
+# x64 is the default (DFT accuracy); disable with DFTK_TPU_X64=0 for TPU
+# hardware without f64 support (e.g. v5e), where the SCF runs in f32/c64 -
+# the same reduced-precision mode the reference supports as Model{Float32}.
+X64 = os.environ.get("DFTK_TPU_X64", "1") not in ("0", "false", "False")
+if X64:
+    jax.config.update("jax_enable_x64", True)
 
 
 @dataclasses.dataclass

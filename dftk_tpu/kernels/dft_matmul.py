@@ -1,0 +1,125 @@
+"""3D discrete Fourier transform as dense matrix contractions (split-complex).
+
+The TPU backend used for benchmarking exposes no FFT op (and no complex
+GEMMs), so the cube transforms of the plane-wave method are evaluated as
+three per-axis contractions with precomputed DFT matrices:
+
+    Y[a',b,c] = sum_a F[a',a] X[a,b,c],   F = exp(-+ 2 pi i a a' / n)
+
+in split-complex form (arrays carry a trailing re/im axis of size 2; each
+complex contraction is 4 real GEMMs).  Cost is O(n^4) per axis instead of
+O(n^3 log n), but the work is pure MXU matmul running near peak - for the
+grid sizes of plane-wave DFT (n ~ 16..128) this is the fastest option on
+hardware whose systolic array dwarfs its vector unit.
+
+Matches numpy conventions: dft3(x, sign=-1) == np.fft.fftn (unnormalised),
+dft3(x, sign=+1) == N * np.fft.ifftn.
+"""
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@lru_cache(maxsize=64)
+def _dft_factors(n, sign, dtype_name):
+    """(cos, sin-part) factor matrices for one axis, as numpy constants."""
+    a = np.arange(n)
+    phase = sign * 2 * np.pi * np.outer(a, a) / n
+    dtype = np.dtype(dtype_name)
+    return (np.cos(phase).astype(dtype), np.sin(phase).astype(dtype))
+
+
+def _axis_transform(x, F, axis):
+    """Complex contraction of `axis` with F=(Fr, Fi); x [..., 2] split."""
+    Fr, Fi = F
+    xr = jnp.moveaxis(x[..., 0], axis, -1)
+    xi = jnp.moveaxis(x[..., 1], axis, -1)
+    # (Fr + i Fi)(xr + i xi): contract last axis with F^T
+    yr = xr @ Fr.T - xi @ Fi.T
+    yi = xr @ Fi.T + xi @ Fr.T
+    return jnp.stack([jnp.moveaxis(yr, -1, axis),
+                      jnp.moveaxis(yi, -1, axis)], axis=-1)
+
+
+def dft3(x, sign=-1):
+    """3D DFT over the last three spatial axes of x [..., n1, n2, n3, 2].
+
+    sign=-1: forward (like np.fft.fftn); sign=+1: unnormalised backward.
+    """
+    n1, n2, n3 = x.shape[-4:-1]
+    dt = np.dtype(x.dtype).name
+    # axis indices are relative to the real sub-arrays (split axis dropped)
+    x = _axis_transform(x, _as_jnp(_dft_factors(n3, sign, dt)), -1)
+    x = _axis_transform(x, _as_jnp(_dft_factors(n2, sign, dt)), -2)
+    x = _axis_transform(x, _as_jnp(_dft_factors(n1, sign, dt)), -3)
+    return x
+
+
+def _as_jnp(F):
+    return (jnp.asarray(F[0]), jnp.asarray(F[1]))
+
+
+def dft3_real_input(x, sign=-1):
+    """3D DFT of a real array [..., n1, n2, n3] -> split-complex [..., 2]."""
+    return dft3(jnp.stack([x, jnp.zeros_like(x)], axis=-1), sign)
+
+
+def idft3_real_output(x, normalize=True):
+    """Backward 3D DFT of split-complex x, returning the real part.
+
+    With normalize=True this equals np.fft.ifftn(x).real.
+    """
+    y = dft3(x, sign=+1)[..., 0]
+    if normalize:
+        n1, n2, n3 = x.shape[-4:-1]
+        y = y / (n1 * n2 * n3)
+    return y
+
+
+# ---------------------------------------------------------------------------
+# split-complex array helpers (trailing axis 2 = [re, im])
+# ---------------------------------------------------------------------------
+
+def to_split(z):
+    """complex (numpy or jnp) -> split-complex [..., 2] real array."""
+    if isinstance(z, np.ndarray):
+        return np.stack([z.real, z.imag], axis=-1)
+    return jnp.stack([jnp.real(z), jnp.imag(z)], axis=-1)
+
+
+def from_split(x):
+    return x[..., 0] + 1j * x[..., 1]
+
+
+def cmul(a, b):
+    """Elementwise complex multiply of split arrays."""
+    ar, ai = a[..., 0], a[..., 1]
+    br, bi = b[..., 0], b[..., 1]
+    return jnp.stack([ar * br - ai * bi, ar * bi + ai * br], axis=-1)
+
+
+def conj_split(a):
+    return jnp.stack([a[..., 0], -a[..., 1]], axis=-1)
+
+
+def abs2(a):
+    return a[..., 0] ** 2 + a[..., 1] ** 2
+
+
+def cmatmul(a, b, pattern, conj_a=False):
+    """Complex einsum of split arrays via 4 real einsums.
+
+    pattern: einsum string for the REAL sub-arrays (no trailing 2 axis),
+    e.g. "kag,kbg->kab".
+    """
+    ar, ai = a[..., 0], a[..., 1]
+    if conj_a:
+        ai = -ai
+    br, bi = b[..., 0], b[..., 1]
+    rr = jnp.einsum(pattern, ar, br)
+    ii = jnp.einsum(pattern, ai, bi)
+    ri = jnp.einsum(pattern, ar, bi)
+    ir = jnp.einsum(pattern, ai, br)
+    return jnp.stack([rr - ii, ri + ir], axis=-1)

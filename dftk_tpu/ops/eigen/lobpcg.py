@@ -24,7 +24,6 @@ import jax
 import jax.numpy as jnp
 
 _DEFLATION_SHIFT = 1e8
-_GRAM_RTOL = 1e-14
 
 
 class LobpcgResult(NamedTuple):
@@ -49,14 +48,16 @@ def _rotate(coeff, S):
 def ortho_qr(X):
     """B-orthonormalise the rows of X via Cholesky of the Gram matrix."""
     O = _inner(X, X)
-    eps = 1e-14 * jnp.real(jnp.trace(O, axis1=-2, axis2=-1))[:, None, None]
+    meps = float(jnp.finfo(X.real.dtype).eps)
+    eps = 10 * meps * jnp.real(jnp.trace(O, axis1=-2, axis2=-1))[:, None, None]
     L = jnp.linalg.cholesky(O + eps * jnp.eye(O.shape[-1], dtype=O.dtype))
     return jax.lax.linalg.triangular_solve(
         L, X, left_side=True, lower=True, conjugate_a=False)
 
 
 def lobpcg(apply_A: Callable, X0, kin, mask, tol=1e-6, maxiter=100,
-           n_conv: Optional[int] = None, tpa_shift=1.0):
+           n_conv: Optional[int] = None, tpa_shift=1.0,
+           refresh_products: Optional[bool] = None):
     """Find the lowest-nb eigenpairs of the Hermitian operator apply_A.
 
     apply_A: [nk, nb, nG] -> [nk, nb, nG]
@@ -69,6 +70,14 @@ def lobpcg(apply_A: Callable, X0, kin, mask, tol=1e-6, maxiter=100,
     if n_conv is None:
         n_conv = nb
     cdtype = X0.dtype
+    # rank-filter threshold for the canonical orthogonalisation, scaled to
+    # the working precision (f32 needs a much larger cutoff than f64)
+    gram_eps = float(jnp.finfo(jnp.zeros((), dtype=X0.dtype).real.dtype).eps)
+    gram_rtol = 300 * gram_eps
+    if refresh_products is None:
+        # implicit product updates (reusing A S through the subspace rotation)
+        # drift too fast at f32; recompute A X each iteration there
+        refresh_products = gram_eps > 1e-12
 
     X = ortho_qr(X0 * mask[:, None, :])
     AX = apply_A(X)
@@ -84,12 +93,19 @@ def lobpcg(apply_A: Callable, X0, kin, mask, tol=1e-6, maxiter=100,
         O = _inner(S, S)
         s, U = jnp.linalg.eigh(O)
         smax = s[..., -1:]
-        good = s > _GRAM_RTOL * jnp.maximum(smax, 1e-300)
+        good = s > gram_rtol * jnp.maximum(smax, 1e-300)
         scale = jnp.where(good, 1.0 / jnp.sqrt(jnp.where(good, s, 1.0)), 0.0)
         C = U * scale[:, None, :]                      # [nk, 3nb, 3nb]
         Hred = _inner(S, AS)
         Ht = C.conj().transpose(0, 2, 1) @ Hred @ C
-        Ht = Ht + jnp.where(good, 0.0, _DEFLATION_SHIFT)[:, None, :] \
+        # deflate rank-deficient directions: their rows/cols are exactly zero
+        # (scale=0), so a diagonal shift just above the spectrum decouples
+        # them exactly; keep the shift moderate - a huge constant would
+        # perturb the good eigenvalues by shift*eps in low precision
+        dmax = jnp.max(jnp.abs(jnp.diagonal(Ht, axis1=-2, axis2=-1)),
+                       axis=-1, keepdims=True)
+        shift = (2 * dmax + 10.0)[..., None]
+        Ht = Ht + jnp.where(good, 0.0, shift[..., 0])[:, None, :] \
             * jnp.eye(Ht.shape[-1], dtype=Ht.dtype)
         # hermitize for eigh stability
         Ht = (Ht + Ht.conj().transpose(0, 2, 1)) / 2
@@ -97,12 +113,49 @@ def lobpcg(apply_A: Callable, X0, kin, mask, tol=1e-6, maxiter=100,
         coeff = C @ Y[..., :nb]                        # [nk, 3nb, nb]
         return theta[..., :nb].real, coeff
 
+    def project_out(Y, X):
+        """Remove the X components of the rows of Y (keeps Gram well-
+        conditioned; mirrors the reference's ortho!(W, X) step)."""
+        return Y - jnp.einsum("kab,kag->kbg", _inner(X, Y), X)
+
+    def row_normalize(Y):
+        n = jnp.linalg.norm(Y, axis=-1, keepdims=True)
+        return Y / jnp.maximum(n, 1e-30)
+
     def step(state):
-        X, AX, P, AP, lam, res, it, nmv, _ = state
+        (X, AX, P, AP, lam, res, it, nmv, _, best, no_improve,
+         Xb, lamb, resb) = state
+        if refresh_products:
+            # re-orthonormalise and recompute products: immune to the
+            # rotation-drift that breaks implicit updates at f32
+            X = ortho_qr(X)
+            AX = apply_A(X)
+            lam = jnp.real(jnp.einsum("kng,kng->kn", X.conj(), AX))
         R = AX - lam[:, :, None].astype(cdtype) * X
         res = jnp.linalg.norm(R, axis=-1)
         W = precond(X, R) * mask[:, None, :]
+        # soft locking: residuals at the round-off noise floor carry no
+        # information - feeding them to the subspace (after normalisation!)
+        # amplifies noise and breaks the variational bound; zero them so the
+        # Gram filter deflates those directions
+        noise_floor = jnp.maximum(0.1 * tol,
+                                  30 * gram_eps * (1.0 + jnp.abs(lam)))
+        active = (res > noise_floor)[:, :, None]
+        W = W * active
+        # pre-orthogonalise the new directions against X (and W for P) so
+        # the subspace Gram matrix stays well-conditioned - essential at f32
+        W = row_normalize(project_out(W, X)) * active
         AW = apply_A(W)
+        # project P against X and W *as a linear map*, applying the same
+        # combination to AP so (P, AP) stay consistent (A is linear)
+        cXP = _inner(X, P)
+        P1 = P - jnp.einsum("kab,kag->kbg", cXP, X)
+        AP1 = AP - jnp.einsum("kab,kag->kbg", cXP, AX)
+        cWP = _inner(W, P1)
+        P2 = P1 - jnp.einsum("kab,kag->kbg", cWP, W)
+        AP2 = AP1 - jnp.einsum("kab,kag->kbg", cWP, AW)
+        pn = jnp.maximum(jnp.linalg.norm(P2, axis=-1, keepdims=True), 1e-30)
+        P, AP = P2 / pn, AP2 / pn
 
         S = jnp.concatenate([X, W, P], axis=1)
         AS = jnp.concatenate([AX, AW, AP], axis=1)
@@ -114,23 +167,54 @@ def lobpcg(apply_A: Callable, X0, kin, mask, tol=1e-6, maxiter=100,
         coeff_p = coeff.at[:, :nb, :].set(0)
         Pn = _rotate(coeff_p, S)
         APn = _rotate(coeff_p, AS)
-        return (Xn, AXn, Pn, APn, lam_new, res, it + 1, nmv + nk * nb,
-                jnp.asarray(False))
+
+        # robustness guards: if the update went non-finite (possible at the
+        # f32 noise floor), keep the previous iterate; if no band has a
+        # residual above the noise floor, we are done ("stalled" exit)
+        ok = jnp.all(jnp.isfinite(lam_new))
+        keep = lambda new, old: jnp.where(ok, new, old)
+        # no-progress detection: tracked max residual of the gated bands must
+        # keep improving, else the iteration is at its precision floor
+        cur = jnp.max(res[:, :n_conv])
+        improved = cur < best
+        best_new = jnp.minimum(best, cur)
+        no_improve_new = jnp.where(cur < 0.99 * best, 0, no_improve + 1)
+        Xb_new = jnp.where(improved, X, Xb)
+        lamb_new = jnp.where(improved, lam, lamb)
+        resb_new = jnp.where(improved, res, resb)
+        stalled = (jnp.logical_not(jnp.any(active))
+                   | jnp.logical_not(ok)
+                   | (no_improve_new >= 6))
+        nmv_step = nk * nb * (2 if refresh_products else 1)
+        return (keep(Xn, X), keep(AXn, AX), keep(Pn, P), keep(APn, AP),
+                keep(lam_new, lam), res, it + 1, nmv + nmv_step, stalled,
+                best_new, no_improve_new, Xb_new, lamb_new, resb_new)
 
     def cond(state):
-        _, _, _, _, _, res, it, _, _ = state
+        res, it, stalled = state[5], state[6], state[8]
         not_conv = jnp.max(res[:, :n_conv]) >= tol
-        return jnp.logical_and(it < maxiter, jnp.logical_or(it < 1, not_conv))
+        keep_going = jnp.logical_and(it < maxiter,
+                                     jnp.logical_or(it < 1, not_conv))
+        return jnp.logical_and(keep_going, jnp.logical_not(stalled))
 
     lam0 = jnp.real(jnp.einsum("kng,kng->kn", X.conj(), AX))
+    res0 = jnp.full((nk, nb), jnp.inf)
     state0 = (X, AX, jnp.zeros_like(X), jnp.zeros_like(X), lam0,
-              jnp.full((nk, nb), jnp.inf), jnp.asarray(0), jnp.asarray(nk * nb),
-              jnp.asarray(False))
-    X, AX, P, AP, lam, res, it, nmv, _ = jax.lax.while_loop(cond, step, state0)
+              res0, jnp.asarray(0), jnp.asarray(nk * nb),
+              jnp.asarray(False), jnp.asarray(jnp.inf), jnp.asarray(0),
+              X, lam0, res0)
+    (X, AX, P, AP, lam, res, it, nmv, _, _, _, Xb, lamb, resb) = \
+        jax.lax.while_loop(cond, step, state0)
 
-    # final residuals for the returned vectors
-    R = AX - lam[:, :, None].astype(cdtype) * X
-    res = jnp.linalg.norm(R, axis=-1)
-    converged = jnp.max(res[:, :n_conv]) < tol
-    return LobpcgResult(X=X, eigenvalues=lam, residual_norms=res,
-                        n_iter=it, n_matvec=nmv, converged=converged)
+    # return the best iterate seen (the last one can be past the f32 noise
+    # floor); recompute its residuals exactly
+    use_last = jnp.max(res[:, :n_conv]) <= jnp.max(resb[:, :n_conv])
+    Xf = jnp.where(use_last, X, Xb)
+    Xf = ortho_qr(Xf)
+    AXf = apply_A(Xf)
+    lamf = jnp.real(jnp.einsum("kng,kng->kn", Xf.conj(), AXf))
+    Rf = AXf - lamf[:, :, None].astype(cdtype) * Xf
+    resf = jnp.linalg.norm(Rf, axis=-1)
+    converged = jnp.max(resf[:, :n_conv]) < tol
+    return LobpcgResult(X=Xf, eigenvalues=lamf, residual_norms=resf,
+                        n_iter=it, n_matvec=nmv + nk * nb, converged=converged)

@@ -1,0 +1,394 @@
+"""Split-real execution engine (for TPU backends without complex support).
+
+The benchmark TPU backend (axon / v5e) supports f32 elementwise ops, real
+GEMMs and real symmetric eigh - but no complex dtype arithmetic beyond
+elementwise, no FFT op and no complex linear algebra.  This engine runs the
+whole SCF in a *realified doubled space*:
+
+  * each complex Bloch band psi = x + i y becomes one REAL vector
+    u = (x; y) of length 2 nG; the spectrum pairs up (u and (-y; x) share
+    the eigenvalue), so nb complex bands = 2 nb real vectors with
+    occupations f/2 - densities/energies come out exactly right without
+    ever pairing vectors up (see compute_density_split).
+  * H realifies to a real symmetric operator: kinetic is diagonal,
+    the local potential is conjugation of a real multiplication by the
+    (complex-linear) DFT - evaluated via the split-complex matmul DFT
+    (kernels/dft_matmul.py) - and the nonlocal projectors contract via
+    4-real-GEMM complex products.
+  * the generic LOBPCG (ops/eigen/lobpcg.py) runs unmodified on real data,
+    using the hardware-supported REAL eigh for its Rayleigh-Ritz.
+
+This mirrors how DFTK supports Float32 models (test/silicon_lda.jl Float32
+variants); accuracy is the f32 SCF envelope (~1e-4 Ha total energy).
+"""
+import math
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..kernels.dft_matmul import (abs2, cmatmul, dft3, dft3_real_input,
+                                  idft3_real_output, to_split)
+from .hamiltonian import Ham
+
+
+def realify_orbitals(psi):
+    """Complex psi [nk, nb, nG] -> real U [nk, 2nb, 2nG].
+
+    Each band contributes its two real partners (x; y) and (-y; x).
+    """
+    x, y = jnp.real(psi), jnp.imag(psi)
+    u1 = jnp.concatenate([x, y], axis=-1)
+    u2 = jnp.concatenate([-y, x], axis=-1)
+    return jnp.concatenate([u1, u2], axis=1)
+
+
+def scatter_cube_split(xy, Gidx, mask, fft_size):
+    """Split coefficients [nk, nb, nG, 2] -> cube [nk, nb, n1,n2,n3, 2]."""
+    N = int(np.prod(fft_size))
+    c = xy * mask[:, None, :, None]
+
+    def one_k(c_k, idx):
+        flat = jnp.zeros((c_k.shape[0], N, 2), dtype=c_k.dtype)
+        return flat.at[:, idx, :].add(c_k)
+
+    flat = jax.vmap(one_k)(c, Gidx)
+    return flat.reshape(c.shape[:2] + tuple(fft_size) + (2,))
+
+
+def gather_cube_split(cube, Gidx, mask):
+    flat = cube.reshape(cube.shape[:2] + (-1, 2))
+    out = jax.vmap(lambda f, idx: f[:, idx, :])(flat, Gidx)
+    return out * mask[:, None, :, None]
+
+
+def apply_H_split(ham: Ham, U, fft_size, volume):
+    """Realified H apply: U [nk, nbr, 2nG] -> [nk, nbr, 2nG]."""
+    nG = ham.kin.shape[1]
+    xy = jnp.stack([U[..., :nG], U[..., nG:]], axis=-1)   # [nk, nbr, nG, 2]
+
+    kin_part = ham.kin[:, None, :, None] * xy
+
+    cube = scatter_cube_split(xy, ham.Gidx, ham.mask, fft_size)
+    psir = dft3(cube, sign=+1)                             # unnormalised BFFT
+    Vk = ham.V[ham.kspin]                                  # [nk, n1,n2,n3]
+    vpsir = Vk[:, None, :, :, :, None] * psir
+    vc = dft3(vpsir, sign=-1) / float(np.prod(fft_size))
+    loc_part = gather_cube_split(vc, ham.Gidx, ham.mask)
+
+    out = kin_part + loc_part
+    if ham.P.shape[-2] > 0:
+        Pd = _pdag_psi(ham.P, xy)                          # P^dag psi
+        DPd = jnp.einsum("pq,knqc->knpc", ham.D, Pd)
+        nl = _p_coeff(ham.P, DPd)
+        out = out + nl * ham.mask[:, None, :, None]
+
+    out = out * ham.mask[:, None, :, None]
+    return jnp.concatenate([out[..., 0], out[..., 1]], axis=-1)
+
+
+def _pdag_psi(P, xy):
+    """P^dag psi: [nk,nG,np,2] x [nk,nb,nG,2] -> [nk,nb,np,2] (conj P)."""
+    Pr, Pi = P[..., 0], P[..., 1]
+    xr, xi = xy[..., 0], xy[..., 1]
+    rr = jnp.einsum("kgp,kng->knp", Pr, xr)
+    ii = jnp.einsum("kgp,kng->knp", Pi, xi)
+    ri = jnp.einsum("kgp,kng->knp", Pr, xi)
+    ir = jnp.einsum("kgp,kng->knp", Pi, xr)
+    return jnp.stack([rr + ii, ri - ir], axis=-1)   # conj(P)^T psi
+
+
+def _p_coeff(P, c):
+    """P @ c: [nk,nG,np,2] x [nk,nb,np,2] -> [nk,nb,nG,2]."""
+    Pr, Pi = P[..., 0], P[..., 1]
+    cr, ci = c[..., 0], c[..., 1]
+    rr = jnp.einsum("kgp,knp->kng", Pr, cr)
+    ii = jnp.einsum("kgp,knp->kng", Pi, ci)
+    ri = jnp.einsum("kgp,knp->kng", Pr, ci)
+    ir = jnp.einsum("kgp,knp->kng", Pi, cr)
+    return jnp.stack([rr - ii, ri + ir], axis=-1)
+
+
+class SplitTermsData(NamedTuple):
+    """f32 split-complex device arrays for the axon engine."""
+    vloc_static: jnp.ndarray
+    hartree_coeffs: jnp.ndarray
+    P_split: jnp.ndarray        # [nk, nG, nproj, 2]
+    D: jnp.ndarray
+    kin: jnp.ndarray
+    Gidx: jnp.ndarray
+    mask: jnp.ndarray
+    kspin: jnp.ndarray
+    kweights: jnp.ndarray
+    G_cart: jnp.ndarray         # [n1,n2,n3,3]
+
+
+def prepare_split_data(basis, dtype=jnp.float32):
+    td = basis.terms.data
+    P = np.asarray(jax.device_get(td.P))
+    return SplitTermsData(
+        vloc_static=jnp.asarray(np.asarray(jax.device_get(td.vloc_static)),
+                                dtype=dtype),
+        hartree_coeffs=jnp.asarray(
+            np.asarray(jax.device_get(td.hartree_coeffs)), dtype=dtype),
+        P_split=jnp.asarray(to_split(P), dtype=dtype),
+        D=jnp.asarray(np.asarray(jax.device_get(td.D)), dtype=dtype),
+        kin=jnp.asarray(basis.kin_np, dtype=dtype),
+        Gidx=jnp.asarray(basis.Gidx_np),
+        mask=jnp.asarray(basis.mask_np, dtype=dtype),
+        kspin=jnp.asarray(basis.kspin),
+        kweights=jnp.asarray(basis.kweights, dtype=dtype),
+        G_cart=jnp.asarray(basis.G_cube_cart, dtype=dtype),
+    )
+
+
+def make_split_ham(sd: SplitTermsData, V):
+    return Ham(Gidx=sd.Gidx, mask=sd.mask, kin=sd.kin, kspin=sd.kspin,
+               V=V, P=sd.P_split, D=sd.D)
+
+
+def compute_density_split(sd: SplitTermsData, U, occupation, fft_size, volume,
+                          n_spin):
+    """rho from realified vectors; occupation is per REAL vector (= f/2)."""
+    nG = sd.kin.shape[1]
+    xy = jnp.stack([U[..., :nG], U[..., nG:]], axis=-1)
+    cube = scatter_cube_split(xy, sd.Gidx, sd.mask, fft_size)
+    psir = dft3(cube, sign=+1) / math.sqrt(volume)       # [nk,nbr,grid,2]
+    dens = abs2(psir)
+    w = sd.kweights[:, None] * occupation
+    dens_k = jnp.einsum("kn,knxyz->kxyz", w, dens)
+    if n_spin == 1:
+        return jnp.sum(dens_k, axis=0)[None]
+    sel = jax.nn.one_hot(sd.kspin, n_spin, dtype=dens_k.dtype)
+    return jnp.einsum("ks,kxyz->sxyz", sel, dens_k)
+
+
+def total_potential_split(terms, sd: SplitTermsData, rho, volume):
+    """Fused local potential without complex FFTs (split-DFT Hartree/XC)."""
+    N = rho.shape[-1] * rho.shape[-2] * rho.shape[-3]
+    dvol = volume / N
+    rho_tot = jnp.sum(rho, axis=0)
+    energies = {}
+
+    V = jnp.broadcast_to(sd.vloc_static, rho.shape).astype(rho.dtype)
+    energies["AtomicLocal"] = jnp.sum(rho_tot * sd.vloc_static) * dvol
+
+    rho_G = dft3_real_input(rho_tot, sign=-1)            # unnormalised fftn
+    VH = idft3_real_output(sd.hartree_coeffs[..., None] * rho_G)
+    energies["Hartree"] = 0.5 * jnp.sum(VH * rho_tot) * dvol
+    V = V + VH[None]
+
+    if terms.xc:
+        exc, Vxc = jax.value_and_grad(
+            lambda r: xc_energy_split(terms.xc, r, sd.G_cart, volume,
+                                      terms.xc_scaling))(rho)
+        energies["Xc"] = exc
+        V = V + Vxc / dvol
+    return V, energies
+
+
+def xc_energy_split(functionals, rho, G_cart, volume, scaling=1.0):
+    """XC energy with spectral gradients via the matmul DFT."""
+    if not functionals:
+        return jnp.asarray(0.0, rho.dtype)
+    N = rho.shape[-1] * rho.shape[-2] * rho.shape[-3]
+    dvol = volume / N
+
+    sigma = None
+    if any(f.family == "gga" for f in functionals):
+        rho_G = dft3_real_input(rho, sign=-1)
+        grads = []
+        for a in range(3):
+            # i G rho_G in split form: (re, im) -> (-G im, G re)
+            gr = jnp.stack([-G_cart[..., a] * rho_G[..., 1],
+                            G_cart[..., a] * rho_G[..., 0]], axis=-1)
+            grads.append(idft3_real_output(gr))
+        grads = jnp.stack(grads, axis=-1)                # [nspin, grid, 3]
+        if rho.shape[0] == 1:
+            sigma = jnp.sum(grads * grads, axis=-1)
+        else:
+            saa = jnp.sum(grads[0] * grads[0], axis=-1)
+            sab = jnp.sum(grads[0] * grads[1], axis=-1)
+            sbb = jnp.sum(grads[1] * grads[1], axis=-1)
+            sigma = jnp.stack([saa, sab, sbb])
+
+    E = 0.0
+    for f in functionals:
+        E = E + jnp.sum(f.energy(rho, sigma))
+    return scaling * E * dvol
+
+
+def make_symmetrizer_split(basis, dtype=jnp.float32):
+    """Density symmetrization via split-complex DFT + real gathers."""
+    if all(op.is_identity() for op in basis.symmetries):
+        return None
+    from .density import build_symmetrization_maps
+    maps = build_symmetrization_maps(basis)
+    Gred = jnp.asarray(basis.G_cube.reshape(-1, 3), dtype=dtype)
+    tau = jnp.asarray(np.asarray(jax.device_get(maps.tau)), dtype=dtype)
+    idx = maps.idx
+    lowpass = jnp.asarray(np.asarray(jax.device_get(maps.lowpass)), dtype=dtype)
+    nsym = idx.shape[0]
+    fft_size = basis.fft_size
+
+    def symmetrize(rho):
+        shape = rho.shape
+        rho_G = dft3_real_input(rho, sign=-1).reshape(shape[0], -1, 2)
+        rho_pad = jnp.concatenate(
+            [rho_G, jnp.zeros((shape[0], 1, 2), rho_G.dtype)], axis=1)
+
+        def one_op(s):
+            ph = -2 * jnp.pi * (Gred @ tau[s])
+            pr, pi = jnp.cos(ph), jnp.sin(ph)
+            g = rho_pad[:, idx[s], :]
+            return jnp.stack([pr * g[..., 0] - pi * g[..., 1],
+                              pr * g[..., 1] + pi * g[..., 0]], axis=-1)
+
+        acc = jax.lax.map(one_op, jnp.arange(nsym)).sum(axis=0) / nsym
+        acc = acc * lowpass[None, :, None]
+        return idft3_real_output(acc.reshape(shape + (2,)))
+
+    return symmetrize
+
+
+def kerker_mix_split(delta_F, Gsq, kTF=0.8):
+    """Kerker preconditioner via the split DFT (total channel only)."""
+    total = jnp.sum(delta_F, axis=0)
+    factor = Gsq / (kTF ** 2 + Gsq)
+    mixed = idft3_real_output(factor[..., None]
+                              * dft3_real_input(total, sign=-1))
+    if delta_F.shape[0] == 1:
+        return mixed[None]
+    spin = delta_F[0] - delta_F[1]
+    return jnp.stack([(mixed + spin) / 2, (mixed - spin) / 2])
+
+
+def self_consistent_field_split(basis, tol=2e-5, maxiter=60, n_bands=None,
+                                n_extra_bands=None, damping=0.8,
+                                anderson_depth=10, eigensolver_maxiter=60,
+                                diagtol_max=5e-3, diagtol_min=3e-5,
+                                use_kerker=None, symmetrize=True,
+                                dtype=jnp.float32, seed=42, callback=None,
+                                is_converged="energy"):
+    """SCF in the realified split engine (f32, complex-free device code).
+
+    Returns a dict (energies, eigenvalues (deduplicated pairs), rho, U, ...).
+    """
+    import time as _time
+    t0 = _time.time()
+    from .occupation import compute_occupation, entropy_energy
+    from ..scf.anderson import AndersonAcceleration
+    from .density import guess_density
+
+    model = basis.model
+    terms = basis.terms
+    sd = prepare_split_data(basis, dtype=dtype)
+    fft_size = basis.fft_size
+    volume = model.unit_cell_volume
+    nspin = model.n_spin_components
+    dvol = basis.dvol
+
+    if n_bands is None:
+        n_bands = model.default_n_bands()
+    if n_extra_bands is None:
+        n_extra_bands = max(3, n_bands // 10)
+    nbr = 2 * (n_bands + n_extra_bands)
+
+    mask2 = jnp.concatenate([sd.mask, sd.mask], axis=-1)
+    kin2 = jnp.concatenate([sd.kin, sd.kin], axis=-1)
+    Gsq = jnp.sum(sd.G_cart * sd.G_cart, axis=-1)
+
+    key = jax.random.PRNGKey(seed)
+    U = jax.random.normal(key, (basis.n_kpoints, nbr, 2 * sd.kin.shape[1]),
+                          dtype=dtype) * mask2[:, None, :]
+    from .eigen.lobpcg import lobpcg, ortho_qr
+    U = ortho_qr(U)
+
+    rho = jnp.asarray(np.asarray(jax.device_get(guess_density(basis))),
+                      dtype=dtype)
+    symmetrizer = make_symmetrizer_split(basis, dtype) if symmetrize else None
+    filled_r = model.filled_occupation / 2.0   # occupation per real vector
+    temperature = model.temperature
+    smearing = model.smearing
+
+    def scf_step(rho_in, U_in, diagtol):
+        V, _ = total_potential_split(terms, sd, rho_in, volume)
+        ham = make_split_ham(sd, V)
+        A = lambda u: apply_H_split(ham, u, fft_size, volume)
+        res = lobpcg(A, U_in, kin2, mask2, tol=diagtol,
+                     maxiter=eigensolver_maxiter, n_conv=2 * n_bands)
+        occ, epsF = compute_occupation(res.eigenvalues, sd.kweights,
+                                       model.n_electrons, filled_r,
+                                       temperature, smearing)
+        rho_out = compute_density_split(sd, res.X, occ, fft_size, volume,
+                                        nspin)
+        if symmetrizer is not None:
+            rho_out = symmetrizer(rho_out)
+        V_out, energies = total_potential_split(terms, sd, rho_out, volume)
+        energies.update(psi_energies_split(sd, res.X, occ))
+        if terms.has_entropy:
+            energies["Entropy"] = entropy_energy(
+                res.eigenvalues, sd.kweights, epsF, temperature, smearing,
+                filled_r)
+        return rho_out, res.X, res.eigenvalues, occ, epsF, energies
+
+    scf_step = jax.jit(scf_step)
+    anderson = AndersonAcceleration(m=anderson_depth)
+    if use_kerker is None:
+        use_kerker = model.temperature > 0
+    mixer = jax.jit(partial(kerker_mix_split, Gsq=Gsq)) if use_kerker else None
+
+    E_prev, converged, diagtol = None, False, diagtol_max
+    history = []
+    info = None
+    for it in range(maxiter):
+        rho_out, U, eigvals, occ, epsF, energies = scf_step(rho, U, diagtol)
+        E_const = {"Ewald": terms.E_ewald,
+                   "PspCorrection": terms.E_psp_correction}
+        E_total = float(sum(float(jax.device_get(v))
+                            for v in energies.values()) + sum(E_const.values()))
+        delta_F = rho_out - rho
+        drho = float(jnp.linalg.norm(delta_F)) * math.sqrt(dvol)
+        history.append((E_total, drho))
+        if callback:
+            callback(dict(n_iter=it + 1, E=E_total, drho=drho))
+        if is_converged == "density":
+            converged = drho < tol
+        else:
+            converged = E_prev is not None and abs(E_total - E_prev) < tol
+        E_prev = E_total
+        info = (rho_out, eigvals, occ, epsF, energies, E_const)
+        if converged:
+            rho = rho_out
+            break
+        dmix = mixer(delta_F) if mixer is not None else delta_F
+        rho = anderson(rho, dmix, damping)
+        diagtol = min(diagtol, max(0.2 * drho, diagtol_min))
+
+    rho_out, eigvals, occ, epsF, energies, E_const = info
+    energies_out = {k: float(jax.device_get(v)) for k, v in energies.items()}
+    energies_out.update(E_const)
+    energies_out["total"] = float(sum(energies_out.values()))
+    ev = np.sort(np.asarray(jax.device_get(eigvals)), axis=1)
+    return dict(energies=energies_out, eigenvalues=ev[:, ::2], U=U,
+                rho=rho_out, epsF=float(epsF), converged=converged,
+                n_iter=it + 1, history=history, basis=basis,
+                runtime_s=_time.time() - t0)
+
+
+def psi_energies_split(sd: SplitTermsData, U, occupation):
+    """Kinetic + nonlocal energies from realified vectors (occ = f/2)."""
+    nG = sd.kin.shape[1]
+    xy = jnp.stack([U[..., :nG], U[..., nG:]], axis=-1)
+    wocc = sd.kweights[:, None] * occupation
+    energies = {}
+    energies["Kinetic"] = jnp.sum(wocc[:, :, None] * sd.kin[:, None, :]
+                                  * abs2(xy))
+    if sd.P_split.shape[-2] > 0:
+        Pd = _pdag_psi(sd.P_split, xy)                   # [nk,nbr,np,2]
+        band_e = (jnp.einsum("knp,pq,knq->kn", Pd[..., 0], sd.D, Pd[..., 0])
+                  + jnp.einsum("knp,pq,knq->kn", Pd[..., 1], sd.D, Pd[..., 1]))
+        energies["AtomicNonlocal"] = jnp.sum(wocc * band_e)
+    return energies

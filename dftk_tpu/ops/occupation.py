@@ -70,11 +70,12 @@ def _bisect(f, lo, hi):
 
 def _occupation_zero_temperature(eigenvalues, kweights, n_electrons,
                                  filled_occupation):
-    n_occ, rem = divmod(n_electrons, filled_occupation)
-    if rem != 0:
+    n_occ = n_electrons / filled_occupation
+    if abs(n_occ - round(n_occ)) > 1e-12:
         raise ValueError(
             "Without temperature, the number of electrons must be divisible "
             "by the filled occupation (no fractional band filling).")
+    n_occ = int(round(n_occ))
     nb = eigenvalues.shape[1]
     if n_occ > nb:
         raise ValueError(f"Need at least {n_occ} bands, got {nb}")

@@ -159,9 +159,8 @@ def instantiate_terms(basis) -> Terms:
         elif isinstance(term, ExternalFromFourier):
             pot_G = np.asarray(term.potential(basis.G_cube_cart),
                                dtype=np.complex128) / math.sqrt(model.unit_cell_volume)
-            vloc += np.asarray(
-                jax.device_get(fftops.irfft_cube(jnp.asarray(pot_G),
-                                                 model.unit_cell_volume)))
+            N = np.prod(basis.fft_size)
+            vloc += np.fft.ifftn(pot_G).real * (N / math.sqrt(model.unit_cell_volume))
         elif isinstance(term, AtomicNonlocal):
             P, D = _build_nonlocal_projectors(basis)
         elif isinstance(term, Hartree):
@@ -175,10 +174,12 @@ def instantiate_terms(basis) -> Terms:
             charges = np.array([at.charge_ionic() for at in model.atoms], dtype=float)
             if len(charges) > 0:
                 eta = term.eta or default_eta(model.lattice)
-                E, F = energy_forces_ewald(model.lattice, charges,
-                                           np.stack(model.positions), eta=eta)
-                E_ewald = float(E)
-                ewald_forces = np.asarray(F)
+                # setup-time electrostatics in f64 on the host CPU backend
+                with jax.default_device(jax.devices("cpu")[0]):
+                    E, F = energy_forces_ewald(model.lattice, charges,
+                                               np.stack(model.positions), eta=eta)
+                    E_ewald = float(E)
+                    ewald_forces = np.asarray(jax.device_get(F))
         elif isinstance(term, PspCorrection):
             E_psp = _energy_psp_correction(model)
         elif isinstance(term, Entropy):
@@ -234,9 +235,10 @@ def _atomic_local_potential(basis, positions=None):
             sf += np.exp(1j * phase)
         pot += ff * sf
     pot /= math.sqrt(model.unit_cell_volume)
-    pot_cube = jnp.asarray(pot.reshape(basis.fft_size))
-    return np.asarray(jax.device_get(
-        fftops.irfft_cube(pot_cube, model.unit_cell_volume)))
+    # host-side numpy iFFT (setup runs off-device; some TPU backends lack FFT)
+    N = np.prod(basis.fft_size)
+    return np.fft.ifftn(pot.reshape(basis.fft_size)).real \
+        * (N / math.sqrt(model.unit_cell_volume))
 
 
 # ---------------------------------------------------------------------------

@@ -19,7 +19,7 @@ import numpy as np
 @dataclasses.dataclass
 class AndersonAcceleration:
     m: int = 10                # history window
-    ridge: float = 1e-12
+    ridge: float = None        # default: 100 * eps of the working dtype
 
     def __post_init__(self):
         self._xs = []
@@ -43,7 +43,10 @@ class AndersonAcceleration:
             colnorm = jnp.linalg.norm(M, axis=0)
             scale = jnp.where(colnorm > 0, 1.0 / jnp.maximum(colnorm, 1e-300), 0.0)
             Ms = M * scale[None, :]
-            A = Ms.T @ Ms + self.ridge * jnp.eye(Ms.shape[1])
+            ridge = self.ridge
+            if ridge is None:
+                ridge = 100 * float(jnp.finfo(Ms.dtype).eps)
+            A = Ms.T @ Ms + ridge * jnp.eye(Ms.shape[1], dtype=Ms.dtype)
             b = Ms.T @ rhs
             gammas = jnp.linalg.solve(A, b) * scale
             corr = jnp.tensordot(gammas, dX + beta * dF, axes=(0, 0))

@@ -104,7 +104,8 @@ def self_consistent_field(
     if mixing is None:
         mixing = default_mixing(model)
     if diagtol_min is None:
-        diagtol_min = max(tol / 100, 1e-12)
+        eps = float(jnp.finfo(jnp.zeros(0).dtype).eps)   # working precision
+        diagtol_min = max(tol / 100, 100 * eps)
 
     symmetrizer = make_symmetrizer(basis)
     bd = basis.data

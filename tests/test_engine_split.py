@@ -1,0 +1,80 @@
+"""Split-real engine (complex-free device code) vs the complex engine.
+
+The axon TPU backend supports no complex GEMMs/FFT/linalg; the split engine
+(ops/engine_split.py) realifies everything.  These tests pin its exactness
+against the complex engine in f64 and its f32 accuracy envelope.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import dftk_tpu as dftk
+from dftk_tpu.kernels.dft_matmul import dft3, from_split, to_split
+from dftk_tpu.ops import hamiltonian as hamops
+from dftk_tpu.ops.density import guess_density
+from dftk_tpu.ops.engine_split import (apply_H_split, make_split_ham,
+                                       prepare_split_data, realify_orbitals,
+                                       self_consistent_field_split)
+from dftk_tpu.scf.driver import random_orbitals
+
+
+def test_dft_matmul_matches_fft():
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, 6, 7, 8)) + 1j * rng.normal(size=(2, 6, 7, 8))
+    y = from_split(np.asarray(dft3(jnp.asarray(to_split(x)), sign=-1)))
+    np.testing.assert_allclose(y, np.fft.fftn(x, axes=(-3, -2, -1)),
+                               atol=1e-11)
+    yb = from_split(np.asarray(dft3(jnp.asarray(to_split(x)), sign=+1))) / 336
+    np.testing.assert_allclose(yb, np.fft.ifftn(x, axes=(-3, -2, -1)),
+                               atol=1e-12)
+
+
+@pytest.fixture(scope="module")
+def si_setup():
+    from testcases import make_silicon_model, silicon
+    model = make_silicon_model()
+    basis = dftk.PlaneWaveBasis(model, Ecut=7.0, kgrid=silicon["kgrid"],
+                                fft_size=(18, 18, 18))
+    return basis
+
+
+def test_apply_H_split_matches_complex(si_setup):
+    basis = si_setup
+    model = basis.model
+    rho = guess_density(basis)
+    V, _ = hamops.total_potential(basis.terms, rho,
+                                  jnp.asarray(basis.G_cube_cart),
+                                  model.unit_cell_volume)
+    ham = hamops.build_ham(basis.data, basis.terms.data, V)
+    psi = random_orbitals(basis, 4)
+    H_c = hamops.apply_H(ham, psi, basis.fft_size, model.unit_cell_volume)
+
+    sd = prepare_split_data(basis, dtype=jnp.float64)
+    H_s = apply_H_split(make_split_ham(sd, V), realify_orbitals(psi),
+                        basis.fft_size, model.unit_cell_volume)
+    nG = basis.nG_max
+    H_s_c = H_s[:, :4, :nG] + 1j * H_s[:, :4, nG:]
+    assert float(jnp.max(jnp.abs(H_s_c - H_c))) < 1e-12
+
+
+def test_split_scf_matches_complex_f64(si_setup):
+    basis = si_setup
+    res_c = dftk.self_consistent_field(basis, tol=1e-8, is_converged="energy",
+                                       n_bands=8)
+    res_s = self_consistent_field_split(basis, tol=1e-8, maxiter=40,
+                                        n_bands=8, dtype=jnp.float64,
+                                        diagtol_min=1e-7)
+    assert res_s["converged"]
+    assert abs(res_s["energies"]["total"] - res_c.total_energy) < 1e-9
+    assert np.max(np.abs(res_s["eigenvalues"][:, :8]
+                         - res_c.eigenvalues[:, :8])) < 1e-6
+
+
+def test_split_scf_f32_accuracy(si_setup):
+    """f32 split SCF within the reference's Float32 test envelope (1e-4)."""
+    basis = si_setup
+    res = self_consistent_field_split(basis, tol=2e-5, maxiter=30,
+                                      dtype=jnp.float32)
+    assert res["converged"]
+    assert abs(res["energies"]["total"] - (-7.8890399)) < 2e-3
