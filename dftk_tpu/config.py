@@ -20,6 +20,11 @@ X64 = os.environ.get("DFTK_TPU_X64", "1") not in ("0", "false", "False")
 if X64:
     jax.config.update("jax_enable_x64", True)
 
+# DFT needs full f32 matmul accuracy: on TPU the MXU would otherwise run
+# f32 contractions in bf16 passes.  (The matmul-based DFT makes this the
+# precision-critical path; "highest" = 6-pass bf16 ~ true f32.)
+jax.config.update("jax_default_matmul_precision", "highest")
+
 
 @dataclasses.dataclass
 class Precision:

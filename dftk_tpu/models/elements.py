@@ -83,8 +83,24 @@ class ElementPsp(Element):
         if psp is None:
             psp = load_psp_hgh(symbol)
         elif isinstance(psp, str):
-            psp = load_psp_hgh(psp)
+            if psp.endswith(".upf") or psp.endswith(".UPF"):
+                from .psp_upf import load_psp_upf
+                psp = load_psp_upf(psp)
+            else:
+                psp = load_psp_hgh(psp)
         return cls(symbol=symbol, Z=Z, psp=psp)
+
+    def has_valence_density(self):
+        return getattr(self.psp, "has_valence_density", lambda: False)()
+
+    def has_core_density(self):
+        return getattr(self.psp, "has_core_density", lambda: False)()
+
+    def valence_density_fourier(self, p):
+        return self.psp.valence_density_fourier(p)
+
+    def core_density_fourier(self, p):
+        return self.psp.core_density_fourier(p)
 
     def charge_nuclear(self):
         return self.Z

@@ -144,13 +144,18 @@ def _gaussian_superposition(basis, coefficients):
     Gnorm = basis.G_cube_cart_norm.reshape(-1)
     Gred = basis.G_cube.reshape(-1, 3).astype(float)
     rho_G = np.zeros(Gnorm.shape, dtype=np.complex128)
+    ff_cache = {}
     for i, at in enumerate(model.atoms):
         if coefficients[i] == 0:
             continue
-        decay = atom_decay_length(at)
-        ff = at.charge_ionic() * np.exp(-((Gnorm * decay) ** 2))
+        if at not in ff_cache:
+            if at.has_valence_density():
+                ff_cache[at] = np.asarray(at.valence_density_fourier(Gnorm))
+            else:
+                decay = atom_decay_length(at)
+                ff_cache[at] = at.charge_ionic() * np.exp(-((Gnorm * decay) ** 2))
         phase = np.exp(-2j * math.pi * (Gred @ np.asarray(model.positions[i])))
-        rho_G += coefficients[i] * ff * phase
+        rho_G += coefficients[i] * ff_cache[at] * phase
     rho_G /= math.sqrt(model.unit_cell_volume)
     cube = rho_G.reshape(basis.fft_size)
     N = np.prod(basis.fft_size)

@@ -126,15 +126,15 @@ class SplitTermsData(NamedTuple):
 
 
 def prepare_split_data(basis, dtype=jnp.float32):
-    td = basis.terms.data
-    P = np.asarray(jax.device_get(td.P))
+    terms = basis.terms
+    P = terms.P_np if terms.P_np is not None \
+        else np.zeros((basis.n_kpoints, basis.nG_max, 0), dtype=np.complex128)
+    D = terms.D_np if terms.D_np is not None else np.zeros((0, 0))
     return SplitTermsData(
-        vloc_static=jnp.asarray(np.asarray(jax.device_get(td.vloc_static)),
-                                dtype=dtype),
-        hartree_coeffs=jnp.asarray(
-            np.asarray(jax.device_get(td.hartree_coeffs)), dtype=dtype),
+        vloc_static=jnp.asarray(terms.vloc_np, dtype=dtype),
+        hartree_coeffs=jnp.asarray(terms.hartree_np, dtype=dtype),
         P_split=jnp.asarray(to_split(P), dtype=dtype),
-        D=jnp.asarray(np.asarray(jax.device_get(td.D)), dtype=dtype),
+        D=jnp.asarray(D, dtype=dtype),
         kin=jnp.asarray(basis.kin_np, dtype=dtype),
         Gidx=jnp.asarray(basis.Gidx_np),
         mask=jnp.asarray(basis.mask_np, dtype=dtype),

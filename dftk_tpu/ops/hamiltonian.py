@@ -141,11 +141,16 @@ def total_potential(terms: Terms, rho, G_cube_cart, volume):
     energies["Hartree"] = 0.5 * jnp.sum(VH * rho_tot) * dvol
     V = V + VH[None]
 
-    # Xc via AD
+    # Xc via AD (with the NLCC core density added to the XC density)
     if terms.xc:
+        if terms.rho_core_np is not None:
+            rho_core = jnp.asarray(terms.rho_core_np, dtype=rho.dtype)
+            rho_xc = rho + rho_core[None] / nspin
+        else:
+            rho_xc = rho
         exc, Vxc = jax.value_and_grad(
             lambda r: xc_energy(terms.xc, r, G_cube_cart, volume,
-                                terms.xc_scaling))(rho)
+                                terms.xc_scaling))(rho_xc)
         energies["Xc"] = exc
         V = V + Vxc / dvol
 

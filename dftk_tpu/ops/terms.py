@@ -114,8 +114,14 @@ class TermsData(NamedTuple):
 
 @dataclasses.dataclass
 class Terms:
-    """Static info + device TermsData for a basis."""
-    data: TermsData
+    """Static info (host numpy) + lazily-created device TermsData."""
+    vloc_np: np.ndarray
+    hartree_np: np.ndarray
+    P_np: Optional[np.ndarray]       # [nk, nG, nproj] complex or None
+    D_np: Optional[np.ndarray]
+    Gsq_np: np.ndarray
+    kinetic_scale: float
+    rho_core_np: Optional[np.ndarray]    # NLCC core density on the grid
     E_ewald: float
     E_psp_correction: float
     xc: Sequence[Functional]
@@ -125,6 +131,25 @@ class Terms:
     hartree_scaling: float
     local_nonlinearity: Optional[Callable]
     ewald_forces: Optional[np.ndarray]   # reduced coords, [na,3]
+    _data: Optional[TermsData] = None
+
+    @property
+    def data(self) -> TermsData:
+        """Device arrays for the complex engine (created on first use)."""
+        if self._data is None:
+            P = self.P_np
+            if P is None:
+                P = np.zeros(self._pshape0 + (0,), dtype=np.complex128)
+                D = np.zeros((0, 0))
+            else:
+                D = self.D_np
+            self._data = TermsData(
+                vloc_static=jnp.asarray(self.vloc_np),
+                hartree_coeffs=jnp.asarray(self.hartree_np),
+                P=jnp.asarray(P), D=jnp.asarray(D),
+                Gsq_cart=jnp.asarray(self.Gsq_np),
+                kinetic_scale=jnp.asarray(self.kinetic_scale))
+        return self._data
 
 
 def instantiate_terms(basis) -> Terms:
@@ -133,7 +158,7 @@ def instantiate_terms(basis) -> Terms:
     types = list(model.term_types)
 
     vloc = np.zeros(fft_size, dtype=np.float64)
-    hartree_coeffs = jnp.zeros(fft_size)
+    hartree_coeffs = np.zeros(fft_size)
     hartree_scaling = 0.0
     P = None
     D = None
@@ -145,6 +170,7 @@ def instantiate_terms(basis) -> Terms:
     has_entropy = False
     kinetic_scale = 1.0
     local_nonlinearity = None
+    rho_core = None
 
     Gsq = basis.G_cube_cart_norm ** 2
 
@@ -166,10 +192,11 @@ def instantiate_terms(basis) -> Terms:
         elif isinstance(term, Hartree):
             hartree_scaling = term.scaling_factor
             coeffs = np.where(Gsq > 0, 4 * math.pi / np.where(Gsq > 0, Gsq, 1.0), 0.0)
-            hartree_coeffs = jnp.asarray(term.scaling_factor * coeffs)
+            hartree_coeffs = term.scaling_factor * coeffs
         elif isinstance(term, Xc):
             xc_functionals = resolve_functionals(term.functionals)
             xc_scaling = term.scaling_factor
+            rho_core = _core_density_superposition(basis)
         elif isinstance(term, Ewald):
             charges = np.array([at.charge_ionic() for at in model.atoms], dtype=float)
             if len(charges) > 0:
@@ -189,28 +216,19 @@ def instantiate_terms(basis) -> Terms:
         else:
             raise NotImplementedError(f"Term {term} not implemented yet")
 
-    nk = basis.n_kpoints
-    nG = basis.nG_max
-    if P is None:
-        P = jnp.zeros((nk, nG, 0), dtype=jnp.complex128)
-        D = jnp.zeros((0, 0), dtype=jnp.float64)
-        has_nonlocal = False
-    else:
-        has_nonlocal = True
-
-    data = TermsData(
-        vloc_static=jnp.asarray(vloc),
-        hartree_coeffs=hartree_coeffs,
-        P=P, D=D,
-        Gsq_cart=jnp.asarray(Gsq),
-        kinetic_scale=jnp.asarray(kinetic_scale),
-    )
-    return Terms(data=data, E_ewald=E_ewald, E_psp_correction=E_psp,
-                 xc=xc_functionals, xc_scaling=xc_scaling,
-                 has_entropy=has_entropy, has_nonlocal=has_nonlocal,
-                 hartree_scaling=hartree_scaling,
-                 local_nonlinearity=local_nonlinearity,
-                 ewald_forces=ewald_forces)
+    has_nonlocal = P is not None
+    terms = Terms(vloc_np=vloc, hartree_np=hartree_coeffs,
+                  P_np=P, D_np=D, Gsq_np=Gsq,
+                  kinetic_scale=float(kinetic_scale),
+                  rho_core_np=rho_core,
+                  E_ewald=E_ewald, E_psp_correction=E_psp,
+                  xc=xc_functionals, xc_scaling=xc_scaling,
+                  has_entropy=has_entropy, has_nonlocal=has_nonlocal,
+                  hartree_scaling=hartree_scaling,
+                  local_nonlinearity=local_nonlinearity,
+                  ewald_forces=ewald_forces)
+    terms._pshape0 = (basis.n_kpoints, basis.nG_max)
+    return terms
 
 
 # ---------------------------------------------------------------------------
@@ -309,12 +327,36 @@ def _build_nonlocal_projectors(basis):
     assert offset == n_proj
 
     P *= basis.mask_np[:, :, None]
-    return jnp.asarray(P), jnp.asarray(D)
+    return P, D
 
 
 # ---------------------------------------------------------------------------
 # PspCorrection (terms/psp_correction.jl:26-35)
 # ---------------------------------------------------------------------------
+
+def _core_density_superposition(basis):
+    """NLCC: superposition of pseudo core charge densities (real grid)."""
+    model = basis.model
+    if not any(getattr(at, "has_core_density", lambda: False)()
+               for at in model.atoms):
+        return None
+    Gnorm = basis.G_cube_cart_norm.reshape(-1)
+    Gred = basis.G_cube.reshape(-1, 3).astype(float)
+    rho_G = np.zeros(Gnorm.shape, dtype=np.complex128)
+    ff_cache = {}
+    for i, at in enumerate(model.atoms):
+        if not getattr(at, "has_core_density", lambda: False)():
+            continue
+        if at not in ff_cache:
+            ff_cache[at] = np.asarray(at.core_density_fourier(Gnorm))
+        phase = np.exp(-2j * math.pi * (Gred @ np.asarray(model.positions[i])))
+        rho_G += ff_cache[at] * phase
+    rho_G /= math.sqrt(model.unit_cell_volume)
+    N = np.prod(basis.fft_size)
+    rho = np.fft.ifftn(rho_G.reshape(basis.fft_size)).real \
+        * (N / math.sqrt(model.unit_cell_volume))
+    return np.maximum(rho, 0.0)
+
 
 def _energy_psp_correction(model):
     corr = 0.0
