@@ -94,7 +94,7 @@ def shard_basis(basis, mesh: Mesh):
         kin=put_k(basis.data.kin), Gpk_cart=put_k(basis.data.Gpk_cart),
         kweights=put_k(basis.data.kweights), kspin=put_k(basis.data.kspin))
     td = basis.terms.data
-    basis.terms.data = td._replace(
+    basis.terms._data = td._replace(
         vloc_static=put_r(td.vloc_static),
         hartree_coeffs=put_r(td.hartree_coeffs),
         P=put_k(td.P), D=put_r(td.D), Gsq_cart=put_r(td.Gsq_cart),

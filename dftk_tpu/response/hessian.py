@@ -1,0 +1,131 @@
+"""Self-consistent response: solve the Dyson equation (1 - chi_0 K) drho = b.
+
+Mirrors DFTK `src/response/hessian.jl:266-361` (solve_OmegaplusK_split):
+the self-consistent density response to an external perturbation dV_ext is
+
+    drho = chi_0 (dV_ext + K drho)      =>     (1 - chi_0 K) drho = chi_0 dV_ext
+
+with K = Hartree + XC kernel.  K drho is evaluated by jax.jvp through
+`total_potential` (exact kernel application, no hand-derived fxc), and the
+linear system is solved with GMRES; works for metals through the
+occupation-response terms in apply_chi0.
+"""
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import hamiltonian as hamops
+from .chi0 import Chi0Context, apply_chi0, make_chi0_context
+
+
+def apply_kernel(basis, rho0, drho):
+    """K drho = d(V_H + V_xc)/d rho . drho via jvp (terms/Hamiltonian.jl:127)."""
+    model = basis.model
+    terms = basis.terms
+    Gcart = jnp.asarray(basis.G_cube_cart)
+
+    def pot(r):
+        V, _ = hamops.total_potential(terms, r, Gcart, model.unit_cell_volume)
+        return V
+
+    _, dV = jax.jvp(pot, (rho0,), (drho,))
+    return dV
+
+
+def solve_dyson(scfres, dV_ext, basis=None, tol=1e-7, maxiter=60,
+                sternheimer_tol=1e-10, verbose=False):
+    """Self-consistent drho for an external potential perturbation.
+
+    dV_ext: [nspin, n1,n2,n3].  Returns (drho, dV_total).
+    """
+    basis = basis or scfres.basis
+    ctx = make_chi0_context(scfres, basis)
+    rho0 = jnp.asarray(scfres.rho)
+
+    chi0_f = jax.jit(lambda dv: apply_chi0(ctx, basis, dv,
+                                           tol=sternheimer_tol))
+    kernel_f = jax.jit(lambda dr: apply_kernel(basis, rho0, dr))
+
+    b = chi0_f(dV_ext)
+
+    def matvec(drho):
+        return drho - chi0_f(kernel_f(drho))
+
+    drho = gmres(matvec, b, tol=tol, maxiter=maxiter, verbose=verbose)
+    dV_tot = dV_ext + kernel_f(drho)
+    return drho, dV_tot
+
+
+def gmres(matvec, b, tol=1e-7, maxiter=60, restart=30, verbose=False):
+    """Restarted GMRES with a host-side Arnoldi loop (device matvecs).
+
+    The reference uses an inexact-GMRES variant (response/inexact_gmres.jl);
+    here each matvec is expensive (a full Sternheimer sweep) while the Krylov
+    bookkeeping is tiny, so a plain host loop over jitted matvecs is ideal.
+    """
+    shape = b.shape
+    bflat = np.asarray(jax.device_get(b)).reshape(-1)
+    bnorm = np.linalg.norm(bflat)
+    if bnorm == 0:
+        return jnp.zeros_like(b)
+    x = np.zeros_like(bflat)
+    n_matvec = 0
+    while n_matvec < maxiter:
+        r = bflat - np.asarray(jax.device_get(
+            matvec(jnp.asarray(x.reshape(shape))))).reshape(-1)
+        n_matvec += 1
+        beta = np.linalg.norm(r)
+        if beta / bnorm < tol:
+            break
+        m = min(restart, maxiter - n_matvec)
+        Q = [r / beta]
+        H = np.zeros((m + 1, m))
+        for j in range(m):
+            w = np.asarray(jax.device_get(
+                matvec(jnp.asarray(Q[j].reshape(shape))))).reshape(-1)
+            n_matvec += 1
+            for i in range(j + 1):
+                H[i, j] = Q[i] @ w
+                w = w - H[i, j] * Q[i]
+            H[j + 1, j] = np.linalg.norm(w)
+            # solve the least-squares problem for the current subspace
+            e1 = np.zeros(j + 2)
+            e1[0] = beta
+            y, *_ = np.linalg.lstsq(H[:j + 2, :j + 1], e1, rcond=None)
+            resid = np.linalg.norm(H[:j + 2, :j + 1] @ y - e1)
+            if verbose:
+                print(f"  gmres it {n_matvec}: rel resid {resid / bnorm:.2e}")
+            if resid / bnorm < tol or H[j + 1, j] < 1e-14:
+                x = x + np.stack(Q[:j + 1], axis=1) @ y
+                break
+            Q.append(w / H[j + 1, j])
+        else:
+            x = x + np.stack(Q[:m], axis=1) @ y
+            continue
+        if resid / bnorm < tol:
+            break
+    return jnp.asarray(x.reshape(shape))
+
+
+def compute_polarizability(scfres, direction=2, basis=None, **kwargs):
+    """Dipole polarizability alpha = d mu / d E for a molecule in a box.
+
+    Applies dV_ext = -E . r (sawtooth-free: requires a decoupled molecule in
+    a large cell, like the reference's polarizability example) and returns
+    the self-consistent  alpha = integral r drho / E.
+    """
+    basis = basis or scfres.basis
+    model = basis.model
+    nspin = model.n_spin_components
+    # r_alpha relative to the cell center, Cartesian
+    r_cart = np.einsum("ab,xyzb->xyza", model.lattice, basis.r_cube)
+    center = model.lattice @ np.array([0.5, 0.5, 0.5])
+    ra = r_cart[..., direction] - center[direction]
+    dV = jnp.asarray(np.broadcast_to(ra, (nspin,) + basis.fft_size))
+    drho, _ = solve_dyson(scfres, -dV, basis=basis, **kwargs)
+    # dipole response along the same axis
+    return float(jnp.sum(jnp.asarray(ra) * jnp.sum(drho, axis=0))
+                 * basis.dvol)
