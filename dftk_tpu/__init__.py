@@ -18,12 +18,25 @@ from .models.psp_hgh import PspHgh, load_psp_hgh, parse_hgh
 from .models import smearing as Smearing
 from .basis import PlaneWaveBasis
 from .bzmesh import ExplicitKpoints, MonkhorstPack, kgrid_from_maximal_spacing
-from .ops.terms import (AtomicLocal, AtomicNonlocal, Entropy, Ewald,
-                        ExternalFromFourier, ExternalFromReal, Hartree,
-                        Kinetic, LocalNonlinearity, PspCorrection, Xc)
+from .ops.terms import (AtomicLocal, AtomicNonlocal, BlowupAbinit, BlowupCHV,
+                        BlowupIdentity, Entropy, Ewald, ExternalFromFourier,
+                        ExternalFromReal, Hartree, Kinetic, LocalNonlinearity,
+                        PairwisePotential, PspCorrection, Xc)
 from .ops.density import compute_density, guess_density, total_density
 from .scf.driver import self_consistent_field, SCFResult
+from .scf.direct import direct_minimization
 from .scf.mixing import DielectricMixing, KerkerMixing, SimpleMixing
 from .symmetry import SymOp
+from .models.psp_upf import PspUpf, load_psp_upf, parse_upf
+from .postprocess.forces import compute_forces, compute_forces_cart
+from .postprocess.stresses import compute_stresses_cart
+from .postprocess.bands import compute_bands, irrfbz_path
+from .postprocess.dos import compute_dos, compute_ldos
+from .postprocess.phonon import phonon_modes_finite_diff
+from .response.hessian import compute_polarizability, solve_dyson
+from .response.chi0 import apply_chi0, make_chi0_context
+from .io.scfres import load_scfres, save_scfres
+from .transfer import transfer_blochwave, transfer_density
+from .utils.timer import memory_usage, timer, versioninfo
 
 __version__ = "0.1.0"

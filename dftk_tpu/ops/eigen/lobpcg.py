@@ -45,14 +45,41 @@ def _rotate(coeff, S):
     return jnp.einsum("kaj,kag->kjg", coeff, S)
 
 
-def ortho_qr(X):
-    """B-orthonormalise the rows of X via Cholesky of the Gram matrix."""
-    O = _inner(X, X)
+def ortho_qr(X, passes=2):
+    """Orthonormalise the rows of X (CholeskyQR2).
+
+    One Cholesky pass orthogonalises only up to kappa(X)^2 * eps; a second
+    pass fixes that for any kappa below ~1/sqrt(eps) (the reference applies
+    the same double-Cholesky scheme, lobpcg_hyper_impl.jl:12-18).
+    """
     meps = float(jnp.finfo(X.real.dtype).eps)
-    eps = 10 * meps * jnp.real(jnp.trace(O, axis1=-2, axis2=-1))[:, None, None]
-    L = jnp.linalg.cholesky(O + eps * jnp.eye(O.shape[-1], dtype=O.dtype))
-    return jax.lax.linalg.triangular_solve(
-        L, X, left_side=True, lower=True, conjugate_a=False)
+    for _ in range(passes):
+        O = _inner(X, X)
+        eps = 10 * meps * jnp.real(
+            jnp.trace(O, axis1=-2, axis2=-1))[:, None, None]
+        L = jnp.linalg.cholesky(O + eps * jnp.eye(O.shape[-1], dtype=O.dtype))
+        # G[a,b] = <X_a|X_b> = L L^H  =>  rows orthonormalise via conj(L)^-1 X
+        X = jax.lax.linalg.triangular_solve(
+            L, X, left_side=True, lower=True, conjugate_a=True)
+        # if Cholesky failed (rank collapse -> NaN), fall back to canonical
+        # orthogonalisation of the same block
+        bad = jnp.any(jnp.isnan(X))
+        X = jnp.where(bad, _ortho_canonical_rows(_nan_to_zero(X)), X)
+    return X
+
+
+def _nan_to_zero(X):
+    return jnp.where(jnp.isnan(X), 0.0, X)
+
+
+def _ortho_canonical_rows(X):
+    O = _inner(X, X)
+    s, U = jnp.linalg.eigh(O)
+    smax = s[..., -1:]
+    good = s > 1e-10 * jnp.maximum(smax, 1e-300)
+    scale = jnp.where(good, 1.0 / jnp.sqrt(jnp.where(good, s, 1.0)), 0.0)
+    C = U * scale[:, None, :]
+    return jnp.einsum("kab,kag->kbg", C.conj(), X)
 
 
 def lobpcg(apply_A: Callable, X0, kin, mask, tol=1e-6, maxiter=100,

@@ -36,9 +36,10 @@ class Ham(NamedTuple):
     D: Any               # [nproj, nproj]
 
 
-def build_ham(basis_data, terms_data: TermsData, V_local):
-    return Ham(Gidx=basis_data.Gidx, mask=basis_data.mask,
-               kin=terms_data.kinetic_scale * basis_data.kin,
+def build_ham(basis_data, terms_data: TermsData, V_local, kin_override=None):
+    kin = terms_data.kinetic_scale * basis_data.kin \
+        if kin_override is None else kin_override
+    return Ham(Gidx=basis_data.Gidx, mask=basis_data.mask, kin=kin,
                kspin=basis_data.kspin,
                V=V_local, P=terms_data.P, D=terms_data.D)
 

@@ -33,9 +33,53 @@ from .xc.functionals import Functional, resolve_functionals
 # Term builder specs (what goes into Model.term_types)
 # ---------------------------------------------------------------------------
 
+class BlowupIdentity:
+    """Standard kinetic energies (no Ecut smearing)."""
+    def __call__(self, x, Ecut):
+        return np.ones_like(x)
+
+
+class BlowupCHV:
+    """C^2-regular energy-band blow-up of Cances/Hassan/Vidal
+    (arXiv:2210.00442); same construction as the reference
+    terms/kinetic.jl:72-91."""
+    def __call__(self, y, Ecut):
+        y = np.asarray(y, dtype=float)
+        x = y / np.sqrt(2 * Ecut)
+        x1, x2 = 0.85, 0.90
+        Ca = 0.013952310177257383
+
+        def f(t):
+            return np.where(t <= 0, 0.0, np.exp(-1 / np.maximum(t, 1e-300)))
+
+        t = (x - x1) / (x2 - x1)
+        sstep = f(t) / (f(t) + f(1 - t))
+        blow = Ca / np.maximum((1 - x) ** 2, 1e-300)
+        Ekin = np.maximum(y ** 2 / 2, 1e-300)
+        mid = (Ecut / Ekin) * ((1 - sstep) * x ** 2 + sstep * blow)
+        hi = (Ecut / Ekin) * blow
+        return np.where(x < x1, 1.0, np.where(x < x2, mid, hi))
+
+
+class BlowupAbinit:
+    """Abinit-style Ecut smearing (terms/kinetic.jl:97-111)."""
+    def __init__(self, Ecutsm=0.5):
+        self.Ecutsm = Ecutsm
+
+    def __call__(self, y, Ecut):
+        y = np.asarray(y, dtype=float)
+        Ekin = y ** 2 / 2
+        Ecutsm = Ecut * self.Ecutsm
+        x = (Ecut - Ekin) / Ecutsm
+        xs = np.maximum(x, 1e-10)
+        smoothed = 1 / (xs ** 2 * (3 + xs - 6 * xs ** 2 + 3 * xs ** 3))
+        return np.where(Ekin <= Ecut - Ecutsm, 1.0, smoothed)
+
+
 @dataclasses.dataclass(frozen=True)
 class Kinetic:
     scaling_factor: float = 1.0
+    blowup: object = None      # BlowupIdentity / BlowupCHV / BlowupAbinit
 
 
 @dataclasses.dataclass(frozen=True)
@@ -98,6 +142,17 @@ class LocalNonlinearity:
     f: Callable = None
 
 
+@dataclasses.dataclass(frozen=True)
+class PairwisePotential:
+    """Classical pairwise interaction sum_{i<j,R} V(|ri - rj - R|)
+    (reference terms/pairwise.jl), e.g. Lennard-Jones between nuclei.
+    V(d2) takes the SQUARED distance (autodiff-smooth); params per
+    species-pair key (symA, symB) sorted."""
+    V: Callable = None
+    params: dict = None
+    max_radius: float = 100.0
+
+
 # ---------------------------------------------------------------------------
 # Instantiated terms: one device pytree + static metadata
 # ---------------------------------------------------------------------------
@@ -122,6 +177,9 @@ class Terms:
     Gsq_np: np.ndarray
     kinetic_scale: float
     rho_core_np: Optional[np.ndarray]    # NLCC core density on the grid
+    kin_np: Optional[np.ndarray]         # kinetic override (blow-up), or None
+    E_pairwise: float
+    pairwise_forces: Optional[np.ndarray]
     E_ewald: float
     E_psp_correction: float
     xc: Sequence[Functional]
@@ -137,19 +195,25 @@ class Terms:
     def data(self) -> TermsData:
         """Device arrays for the complex engine (created on first use)."""
         if self._data is None:
-            P = self.P_np
-            if P is None:
-                P = np.zeros(self._pshape0 + (0,), dtype=np.complex128)
-                D = np.zeros((0, 0))
-            else:
-                D = self.D_np
-            self._data = TermsData(
-                vloc_static=jnp.asarray(self.vloc_np),
-                hartree_coeffs=jnp.asarray(self.hartree_np),
-                P=jnp.asarray(P), D=jnp.asarray(D),
-                Gsq_cart=jnp.asarray(self.Gsq_np),
-                kinetic_scale=jnp.asarray(self.kinetic_scale))
+            # materialise as concrete device arrays even if first touched
+            # inside a jit trace (the cache must never hold tracers)
+            with jax.ensure_compile_time_eval():
+                self._materialize()
         return self._data
+
+    def _materialize(self):
+        P = self.P_np
+        if P is None:
+            P = np.zeros(self._pshape0 + (0,), dtype=np.complex128)
+            D = np.zeros((0, 0))
+        else:
+            D = self.D_np
+        self._data = TermsData(
+            vloc_static=jnp.asarray(self.vloc_np),
+            hartree_coeffs=jnp.asarray(self.hartree_np),
+            P=jnp.asarray(P), D=jnp.asarray(D),
+            Gsq_cart=jnp.asarray(self.Gsq_np),
+            kinetic_scale=jnp.asarray(self.kinetic_scale))
 
 
 def instantiate_terms(basis) -> Terms:
@@ -174,9 +238,24 @@ def instantiate_terms(basis) -> Terms:
 
     Gsq = basis.G_cube_cart_norm ** 2
 
+    kin_np = None
+    E_pairwise = 0.0
+    pairwise_forces = None
     for term in types:
         if isinstance(term, Kinetic):
             kinetic_scale = term.scaling_factor
+            if term.blowup is not None and not isinstance(term.blowup,
+                                                          BlowupIdentity):
+                pk = np.linalg.norm(basis.Gpk_cart_np, axis=-1)
+                kin_np = (term.scaling_factor * 0.5 * pk ** 2
+                          * term.blowup(pk, basis.Ecut)) * basis.mask_np
+        elif isinstance(term, PairwisePotential):
+            from .pairwise import energy_forces_pairwise
+            E_pw, F_pw = energy_forces_pairwise(
+                model.lattice, model.atoms, np.stack(model.positions),
+                term.V, term.params, max_radius=term.max_radius)
+            E_pairwise = float(E_pw)
+            pairwise_forces = np.asarray(F_pw)
         elif isinstance(term, AtomicLocal):
             vloc += _atomic_local_potential(basis)
         elif isinstance(term, ExternalFromReal):
@@ -221,6 +300,8 @@ def instantiate_terms(basis) -> Terms:
                   P_np=P, D_np=D, Gsq_np=Gsq,
                   kinetic_scale=float(kinetic_scale),
                   rho_core_np=rho_core,
+                  kin_np=kin_np, E_pairwise=E_pairwise,
+                  pairwise_forces=pairwise_forces,
                   E_ewald=E_ewald, E_psp_correction=E_psp,
                   xc=xc_functionals, xc_scaling=xc_scaling,
                   has_entropy=has_entropy, has_nonlocal=has_nonlocal,

@@ -137,7 +137,10 @@ def compute_forces(scfres, basis=None):
     grad = jax.grad(
         lambda pos: _positions_energy(basis, scfres.psi, scfres.occupation,
                                       scfres.rho, pos))(positions)
-    return -np.asarray(jax.device_get(grad))
+    F = -np.asarray(jax.device_get(grad))
+    if basis.terms.pairwise_forces is not None:
+        F = F + basis.terms.pairwise_forces
+    return F
 
 
 def compute_forces_cart(scfres, basis=None):

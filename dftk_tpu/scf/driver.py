@@ -161,6 +161,8 @@ def self_consistent_field(
         n_matvec_total += int(nmv)
 
         E_const = {"Ewald": terms.E_ewald, "PspCorrection": terms.E_psp_correction}
+        if terms.E_pairwise:
+            E_const["PairwisePotential"] = terms.E_pairwise
         E_total = float(sum(jax.device_get(v) for v in energies.values())
                         + sum(E_const.values()))
         delta_F = rho_out - rho
