@@ -74,6 +74,7 @@ def self_consistent_field(
         psi=None,
         n_bands: Optional[int] = None,
         n_extra_bands: Optional[int] = None,
+        nbandsalg=None,
         mixing=None,
         damping: float = 0.8,
         anderson_depth: int = 10,
@@ -91,11 +92,15 @@ def self_consistent_field(
     terms = basis.terms
     nspin = model.n_spin_components
 
-    if n_bands is None:
-        n_bands = model.default_n_bands()
-    if n_extra_bands is None:
-        n_extra_bands = max(3, n_bands // 10)
-    nb_total = n_bands + n_extra_bands
+    if nbandsalg is not None:
+        n_bands, nb_total = nbandsalg.bands(model)
+        n_extra_bands = nb_total - n_bands
+    else:
+        if n_bands is None:
+            n_bands = model.default_n_bands()
+        if n_extra_bands is None:
+            n_extra_bands = max(3, n_bands // 10)
+        nb_total = n_bands + n_extra_bands
 
     if rho is None:
         rho = guess_density(basis)
@@ -179,6 +184,21 @@ def self_consistent_field(
         else:
             converged = E_prev is not None and abs(E_total - E_prev) < tol
         E_prev = E_total
+
+        # adaptive band growth (AdaptiveBands): if the top computed band is
+        # still occupied, enlarge the block (static shapes per jit; growth
+        # recompiles, which is rare)
+        if nbandsalg is not None and not converged:
+            grown = nbandsalg.update(jax.device_get(occ), None)
+            if grown is not None:
+                n_bands, nb_total_new = grown
+                extra = nb_total_new - psi.shape[1]
+                if extra > 0:
+                    pad = random_orbitals(basis, extra, seed=seed + it + 1)
+                    psi = jnp.concatenate([psi, pad], axis=1)
+                    from ..ops.eigen.lobpcg import ortho_qr as _oq
+                    psi = _oq(psi)
+                    nb_total = nb_total_new
         info = (rho_out, eigvals, occ, epsF, energies, E_const, V_out)
         if converged:
             rho = rho_out
