@@ -42,6 +42,38 @@ def compute_density(basis_data, psi, occupation, fft_size, volume, n_spin,
     return rho
 
 
+def compute_kinetic_energy_density(basis_data, Gpk_cart, psi, occupation,
+                                   fft_size, volume, n_spin):
+    """tau [nspin, grid] = 1/2 sum w f |grad psi|^2 (densities.jl:110-125)."""
+    N = int(np.prod(fft_size))
+    scale = N / math.sqrt(volume)
+    w = basis_data.kweights[:, None] * occupation
+    tau_k = 0.0
+    for a in range(3):
+        cube = jax.vmap(
+            lambda c, idx, m: fftops.scatter_to_cube(c, idx, m, fft_size)
+        )(1j * Gpk_cart[:, None, :, a] * psi, basis_data.Gidx, basis_data.mask)
+        dpsir = jnp.fft.ifftn(cube, axes=(-3, -2, -1)) * scale
+        tau_k = tau_k + jnp.einsum("kn,knxyz->kxyz", w,
+                                   (dpsir.conj() * dpsir).real)
+    tau_k = 0.5 * tau_k
+    if n_spin == 1:
+        return jnp.sum(tau_k, axis=0)[None]
+    sel = jax.nn.one_hot(basis_data.kspin, n_spin, dtype=tau_k.dtype)
+    return jnp.einsum("ks,kxyz->sxyz", sel, tau_k)
+
+
+def von_weizsaecker_tau(rho, G_cube_cart):
+    """tau_W = |grad rho|^2 / (8 rho): the meta-GGA tau starting guess."""
+    rho_G = jnp.fft.fftn(rho, axes=(-3, -2, -1))
+    g2 = 0.0
+    for a in range(3):
+        g = jnp.fft.ifftn(1j * G_cube_cart[..., a] * rho_G,
+                          axes=(-3, -2, -1)).real
+        g2 = g2 + g * g
+    return g2 / (8 * jnp.maximum(rho, 1e-14))
+
+
 # ---------------------------------------------------------------------------
 # Density symmetrization
 # ---------------------------------------------------------------------------

@@ -34,14 +34,19 @@ class Ham(NamedTuple):
     V: Any               # [nspin, n1, n2, n3] total local potential
     P: Any               # [nk, nG, nproj]
     D: Any               # [nproj, nproj]
+    Vtau: Any = None     # [nspin, grid] meta-GGA tau potential (or None)
+    Gpk: Any = None      # [nk, nG, 3] Cartesian k+G (needed with Vtau)
 
 
-def build_ham(basis_data, terms_data: TermsData, V_local, kin_override=None):
+def build_ham(basis_data, terms_data: TermsData, V_local, kin_override=None,
+              Vtau=None):
     kin = terms_data.kinetic_scale * basis_data.kin \
         if kin_override is None else kin_override
     return Ham(Gidx=basis_data.Gidx, mask=basis_data.mask, kin=kin,
                kspin=basis_data.kspin,
-               V=V_local, P=terms_data.P, D=terms_data.D)
+               V=V_local, P=terms_data.P, D=terms_data.D,
+               Vtau=Vtau,
+               Gpk=basis_data.Gpk_cart if Vtau is not None else None)
 
 
 def apply_H(ham: Ham, psi, fft_size, volume, band_chunk: Optional[int] = None):
@@ -73,6 +78,22 @@ def apply_H(ham: Ham, psi, fft_size, volume, band_chunk: Optional[int] = None):
         res = jnp.moveaxis(res, 0, 1).reshape(psi.shape[0], nblk * band_chunk, -1)
         out = out + res[:, :nb]
 
+    # ---- meta-GGA: -1/2 div(Vtau grad psi)  (DivAgradOperator) --------------
+    if ham.Vtau is not None:
+        Vtau_k = ham.Vtau[ham.kspin]                        # [nk, grid]
+        acc = 0.0
+        for a in range(3):
+            da = jax.vmap(
+                lambda c, idx, m: fftops.scatter_to_cube(c, idx, m, fft_size)
+            )(1j * ham.Gpk[:, None, :, a] * psi, ham.Gidx, ham.mask)
+            dpsir = jnp.fft.ifftn(da, axes=(-3, -2, -1))
+            back = jnp.fft.fftn(Vtau_k[:, None] * dpsir, axes=(-3, -2, -1))
+            ga = jax.vmap(fftops.gather_from_cube)(back, ham.Gidx, ham.mask)
+            acc = acc + 1j * ham.Gpk[:, None, :, a] * ga
+        # (H_tau psi)_G = 1/2 sum_a p_a F[Vtau F^-1[p_a psi]], p = k+G;
+        # acc carries (i p)(i p) = -p p, hence the minus sign
+        out = out - 0.5 * acc
+
     # ---- nonlocal: P D P^dag (two GEMMs over the G axis) ---------------------
     if ham.P.shape[-1] > 0:
         Pd = jnp.einsum("kgp,kng->knp", ham.P.conj(), psi)
@@ -85,7 +106,7 @@ def apply_H(ham: Ham, psi, fft_size, volume, band_chunk: Optional[int] = None):
 # Density-dependent potential assembly + energies
 # ---------------------------------------------------------------------------
 
-def xc_energy(functionals, rho, G_cube_cart, volume, scaling=1.0):
+def xc_energy(functionals, rho, G_cube_cart, volume, scaling=1.0, tau=None):
     """Total XC energy for rho [nspin, n1,n2,n3]; fully differentiable.
 
     For GGA functionals the density gradient is computed spectrally inside
@@ -99,7 +120,7 @@ def xc_energy(functionals, rho, G_cube_cart, volume, scaling=1.0):
     dvol = volume / N
 
     sigma = None
-    if any(f.family == "gga" for f in functionals):
+    if any(f.family in ("gga", "mgga") for f in functionals):
         rho_G = jnp.fft.fftn(rho, axes=(-3, -2, -1))
         # grad_a rho_s(r); G_cube_cart [n1,n2,n3,3] includes the 2 pi factor
         grads = jnp.stack([
@@ -115,15 +136,18 @@ def xc_energy(functionals, rho, G_cube_cart, volume, scaling=1.0):
 
     E = 0.0
     for f in functionals:
-        E = E + jnp.sum(f.energy(rho, sigma))
+        if f.family == "mgga":
+            E = E + jnp.sum(f.energy(rho, sigma, tau))
+        else:
+            E = E + jnp.sum(f.energy(rho, sigma))
     return scaling * E * dvol
 
 
-def total_potential(terms: Terms, rho, G_cube_cart, volume):
+def total_potential(terms: Terms, rho, G_cube_cart, volume, tau=None):
     """Fused local potential V [nspin, grid] + rho-dependent energy pieces.
 
-    rho: [nspin, n1, n2, n3].
-    Returns (V, energies: dict of scalars).
+    rho: [nspin, n1, n2, n3]; tau (same shape) required for meta-GGA.
+    Returns (V, energies) - or (V, Vtau, energies) when tau is given.
     """
     td = terms.data
     nspin = rho.shape[0]
@@ -143,15 +167,23 @@ def total_potential(terms: Terms, rho, G_cube_cart, volume):
     V = V + VH[None]
 
     # Xc via AD (with the NLCC core density added to the XC density)
+    Vtau = None
     if terms.xc:
         if terms.rho_core_np is not None:
             rho_core = jnp.asarray(terms.rho_core_np, dtype=rho.dtype)
             rho_xc = rho + rho_core[None] / nspin
         else:
             rho_xc = rho
-        exc, Vxc = jax.value_and_grad(
-            lambda r: xc_energy(terms.xc, r, G_cube_cart, volume,
-                                terms.xc_scaling))(rho_xc)
+        if tau is not None:
+            (exc, (Vxc, Vtau)) = jax.value_and_grad(
+                lambda r, t: xc_energy(terms.xc, r, G_cube_cart, volume,
+                                       terms.xc_scaling, tau=t),
+                argnums=(0, 1))(rho_xc, tau)
+            Vtau = Vtau / dvol
+        else:
+            exc, Vxc = jax.value_and_grad(
+                lambda r: xc_energy(terms.xc, r, G_cube_cart, volume,
+                                    terms.xc_scaling))(rho_xc)
         energies["Xc"] = exc
         V = V + Vxc / dvol
 
@@ -163,6 +195,8 @@ def total_potential(terms: Terms, rho, G_cube_cart, volume):
         energies["LocalNonlinearity"] = e_val
         V = V + v_nl / dvol
 
+    if tau is not None:
+        return V, Vtau, energies
     return V, energies
 
 

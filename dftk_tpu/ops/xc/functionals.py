@@ -245,6 +245,11 @@ class Functional:
     energy: Callable                   # (rho, sigma) -> energy density / volume
 
 
+def _scan_wrapper(rho, sigma, tau=None):
+    from .mgga import scan_energy
+    return scan_energy(rho, sigma, tau)
+
+
 FUNCTIONALS = {
     "lda_x": Functional("lda_x", "lda", lda_x_energy),
     "lda_c_vwn": Functional("lda_c_vwn", "lda", lda_c_vwn_energy),
@@ -254,6 +259,7 @@ FUNCTIONALS = {
     "gga_c_pbe": Functional("gga_c_pbe", "gga", gga_c_pbe_energy),
     "gga_x_pbe_sol": Functional("gga_x_pbe_sol", "gga", gga_x_pbe_sol_energy),
     "gga_c_pbe_sol": Functional("gga_c_pbe_sol", "gga", gga_c_pbe_sol_energy),
+    "mgga_x_scan": Functional("mgga_x_scan", "mgga", _scan_wrapper),
 }
 
 # Named functional sets mirroring DFTK standard_models.jl:163-166
@@ -261,6 +267,8 @@ FUNCTIONAL_SETS = {
     "LDA": ("lda_x", "lda_c_pw"),
     "PBE": ("gga_x_pbe", "gga_c_pbe"),
     "PBEsol": ("gga_x_pbe_sol", "gga_c_pbe_sol"),
+    # SCAN's exchange + correlation are evaluated together (shared alpha)
+    "SCAN": ("mgga_x_scan",),
 }
 
 

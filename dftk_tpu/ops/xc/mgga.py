@@ -1,0 +1,136 @@
+"""Meta-GGA functionals: SCAN (Sun-Ruzsinszky-Perdew, PRL 115, 036402 (2015)).
+
+Pure jnp, differentiable: the tau-potential (the DivAgrad operator
+coefficient) and the density potential both come from jax.grad of the energy
+ - the AD counterpart of the reference's libxc mgga dispatch
+(DFTK DispatchFunctional.jl + terms/xc.jl DivAgradOperator).
+
+Signature convention: energy(rho, sigma, tau) -> energy density per volume,
+rho/tau [nspin, ...], sigma [1 or 3, ...] like the GGA functionals.
+All formulas transcribed from the published SCAN paper + supplement.
+"""
+import math
+
+import jax.numpy as jnp
+
+from .functionals import (_CX, _f_zeta, _pw_eps, _rs_from_rho, _safe_rho)
+
+# ---- SCAN exchange constants ----------------------------------------------
+_SX_K1 = 0.065
+_SX_MU = 10.0 / 81.0
+_SX_B2 = math.sqrt(5913.0 / 405000.0)
+_SX_B1 = (511.0 / 13500.0) / (2.0 * _SX_B2)
+_SX_B3 = 0.5
+_SX_B4 = _SX_MU ** 2 / _SX_K1 - 1606.0 / 18225.0 - _SX_B1 ** 2
+_SX_HX0 = 1.174
+_SX_A1 = 4.9479
+_SX_C1 = 0.667
+_SX_C2 = 0.8
+_SX_D = 1.24
+
+# ---- SCAN correlation constants -------------------------------------------
+_SC_B1C = 0.0285764
+_SC_B2C = 0.0889
+_SC_B3C = 0.125541
+_SC_GAMMA = 0.031090690869654895034
+_SC_CHI_INF = 0.12802585262625815
+_SC_C1 = 0.64
+_SC_C2 = 1.5
+_SC_D = 0.7
+
+
+def _interp_alpha(alpha, c1, c2, d):
+    """SCAN's exp-based alpha interpolation f(alpha) (paper eq. for fx/fc)."""
+    a = jnp.clip(alpha, 0.0, 1e10)
+    # alpha < 1 branch: exp(-c1 a / (1 - a)); alpha > 1: -d exp(c2 / (1 - a))
+    da_lo = jnp.where(a < 1.0, 1.0 - a, 1.0)
+    lo = jnp.exp(-c1 * a / jnp.maximum(da_lo, 1e-14))
+    da_hi = jnp.where(a > 1.0, 1.0 - a, -1.0)
+    hi = -d * jnp.exp(c2 / jnp.where(a > 1.0, jnp.minimum(da_hi, -1e-14), -1.0))
+    return jnp.where(a < 1.0, lo, jnp.where(a > 1.0, hi, 0.0))
+
+
+def _scan_fx_unpol(rho, sigma, tau):
+    """SCAN exchange enhancement * LDA exchange, for a single spin channel."""
+    r = _safe_rho(rho)
+    sig = jnp.maximum(sigma, 1e-30)
+    t = jnp.maximum(tau, 0.0)
+
+    kf = (3 * math.pi ** 2 * r) ** (1.0 / 3.0)
+    s2 = sig / jnp.maximum((2 * kf * r) ** 2, 1e-40)
+    tau_unif = 0.3 * (3 * math.pi ** 2) ** (2.0 / 3.0) * r ** (5.0 / 3.0)
+    tau_w = sig / (8 * r)
+    alpha = jnp.maximum(t - tau_w, 0.0) / jnp.maximum(tau_unif, 1e-30)
+
+    oma = 1.0 - alpha
+    x = (_SX_MU * s2 * (1 + (_SX_B4 * s2 / _SX_MU)
+                        * jnp.exp(-jnp.abs(_SX_B4) * s2 / _SX_MU))
+         + (_SX_B1 * s2 + _SX_B2 * oma * jnp.exp(-_SX_B3 * oma ** 2)) ** 2)
+    h1x = 1 + _SX_K1 - _SX_K1 / (1 + x / _SX_K1)
+    gx = 1 - jnp.exp(-_SX_A1 / jnp.maximum(s2, 1e-30) ** 0.25)
+    fx = _interp_alpha(alpha, _SX_C1, _SX_C2, _SX_D)
+    Fx = (h1x + fx * (_SX_HX0 - h1x)) * gx
+    return _CX * r ** (4.0 / 3.0) * Fx
+
+
+def _scan_ec(rs, zeta, s2, alpha):
+    """SCAN correlation energy per particle eps_c(rs, zeta, s2, alpha)."""
+    phi = ((1 + zeta) ** (2.0 / 3.0) + (1 - zeta) ** (2.0 / 3.0)) / 2
+    dx_z = ((1 + zeta) ** (4.0 / 3.0) + (1 - zeta) ** (4.0 / 3.0)) / 2
+    Gc = (1 - 2.3631 * (dx_z - 1)) * (1 - zeta ** 12)
+
+    # --- eps_c^0 (alpha -> 0 limit) ---------------------------------------
+    eclda0 = -_SC_B1C / (1 + _SC_B2C * jnp.sqrt(rs) + _SC_B3C * rs)
+    w0 = jnp.expm1(-eclda0 / _SC_B1C)
+    ginf = (1 + 4 * _SC_CHI_INF * s2) ** (-0.25)
+    H0 = _SC_B1C * jnp.log1p(w0 * (1 - ginf))
+    ec0 = (eclda0 + H0) * Gc
+
+    # --- eps_c^1 (alpha ~ 1, PBE-like with rs-dependent beta) --------------
+    eps_lsda = _pw_eps(rs, zeta)
+    beta = 0.066725 * (1 + 0.1 * rs) / (1 + 0.1778 * rs)
+    # t^2 = (3 pi^2 / 16)^{2/3} s^2 / (phi^2 rs)
+    t2 = (3 * math.pi ** 2 / 16.0) ** (2.0 / 3.0) * s2 \
+        / jnp.maximum(phi ** 2 * rs, 1e-30)
+    w1 = jnp.expm1(-eps_lsda / (_SC_GAMMA * phi ** 3))
+    A = beta / (_SC_GAMMA * jnp.maximum(w1, 1e-12))
+    g_at2 = (1 + 4 * A * t2) ** (-0.25)
+    H1 = _SC_GAMMA * phi ** 3 * jnp.log1p(w1 * (1 - g_at2))
+    ec1 = eps_lsda + H1
+
+    fc = _interp_alpha(alpha, _SC_C1, _SC_C2, _SC_D)
+    return ec1 + fc * (ec0 - ec1)
+
+
+def scan_energy(rho, sigma, tau):
+    """SCAN XC energy density per volume.
+
+    rho/tau: [nspin, grid]; sigma: [1 or 3, grid].
+    """
+    nspin = rho.shape[0]
+    if nspin == 1:
+        ex = _scan_fx_unpol(rho[0], sigma[0], tau[0])
+        rho_tot = _safe_rho(rho[0])
+        sig_tot = jnp.maximum(sigma[0], 1e-30)
+        tau_tot = jnp.maximum(tau[0], 0.0)
+        zeta = jnp.zeros_like(rho_tot)
+    else:
+        # exchange: exact spin scaling Ex[ra,rb] = (Ex[2ra] + Ex[2rb]) / 2
+        ex = (_scan_fx_unpol(2 * rho[0], 4 * sigma[0], 2 * tau[0])
+              + _scan_fx_unpol(2 * rho[1], 4 * sigma[2], 2 * tau[1])) / 2
+        rho_tot = _safe_rho(rho[0] + rho[1])
+        sig_tot = jnp.maximum(sigma[0] + 2 * sigma[1] + sigma[2], 1e-30)
+        tau_tot = jnp.maximum(tau[0] + tau[1], 0.0)
+        zeta = jnp.clip((rho[0] - rho[1]) / rho_tot, -1 + 1e-12, 1 - 1e-12)
+
+    rs = _rs_from_rho(rho_tot)
+    kf = (3 * math.pi ** 2 * rho_tot) ** (1.0 / 3.0)
+    s2 = sig_tot / jnp.maximum((2 * kf * rho_tot) ** 2, 1e-40)
+    tau_unif = 0.3 * (3 * math.pi ** 2) ** (2.0 / 3.0) * rho_tot ** (5.0 / 3.0)
+    ds_z = ((1 + zeta) ** (5.0 / 3.0) + (1 - zeta) ** (5.0 / 3.0)) / 2
+    tau_w = sig_tot / (8 * rho_tot)
+    alpha = jnp.maximum(tau_tot - tau_w, 0.0) \
+        / jnp.maximum(ds_z * tau_unif, 1e-30)
+
+    ec = _scan_ec(rs, zeta, s2, alpha)
+    return ex + rho_tot * ec

@@ -21,7 +21,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import hamiltonian as hamops
-from ..ops.density import compute_density, guess_density, make_symmetrizer
+from ..ops.density import (compute_density, compute_kinetic_energy_density,
+                           guess_density, make_symmetrizer,
+                           von_weizsaecker_tau)
 from ..ops.eigen.lobpcg import lobpcg, ortho_qr
 from ..ops.occupation import compute_occupation, entropy_energy
 from .anderson import AndersonAcceleration
@@ -115,6 +117,7 @@ def self_consistent_field(
     symmetrizer = make_symmetrizer(basis)
     bd = basis.data
     td = terms.data
+    needs_tau = any(f.family == "mgga" for f in terms.xc)
     fft_size = basis.fft_size
     volume = model.unit_cell_volume
     dvol = basis.dvol
@@ -123,9 +126,14 @@ def self_consistent_field(
     temperature = model.temperature
     smearing = model.smearing
 
-    def scf_step(rho_in, psi_in, diagtol):
-        V, _ = hamops.total_potential(terms, rho_in, Gcart, volume)
-        ham = hamops.build_ham(bd, td, V)
+    def scf_step(rho_in, psi_in, diagtol, tau_in=None):
+        if needs_tau:
+            V, Vtau, _ = hamops.total_potential(terms, rho_in, Gcart, volume,
+                                                tau=tau_in)
+            ham = hamops.build_ham(bd, td, V, Vtau=Vtau)
+        else:
+            V, _ = hamops.total_potential(terms, rho_in, Gcart, volume)
+            ham = hamops.build_ham(bd, td, V)
         applyH = lambda p: hamops.apply_H(ham, p, fft_size, volume,
                                           band_chunk=band_chunk)
         res = lobpcg(applyH, psi_in, ham.kin, bd.mask, tol=diagtol,
@@ -135,17 +143,29 @@ def self_consistent_field(
                                        temperature, smearing)
         rho_out = compute_density(bd, res.X, occ, fft_size, volume, nspin,
                                   symmetrizer=symmetrizer)
+        tau_out = None
+        if needs_tau:
+            tau_out = compute_kinetic_energy_density(
+                bd, bd.Gpk_cart, res.X, occ, fft_size, volume, nspin)
+            if symmetrizer is not None:
+                tau_out = symmetrizer(tau_out)
 
         # energies evaluated at rho_out (consistent at convergence)
-        V_out, energies = hamops.total_potential(terms, rho_out, Gcart, volume)
-        ham_out = hamops.build_ham(bd, td, V_out)
+        if needs_tau:
+            V_out, Vtau_out, energies = hamops.total_potential(
+                terms, rho_out, Gcart, volume, tau=tau_out)
+            ham_out = hamops.build_ham(bd, td, V_out, Vtau=Vtau_out)
+        else:
+            V_out, energies = hamops.total_potential(terms, rho_out, Gcart,
+                                                     volume)
+            ham_out = hamops.build_ham(bd, td, V_out)
         energies.update(hamops.psi_energies(ham_out, terms, res.X, occ,
                                             bd.kweights))
         if terms.has_entropy:
             energies["Entropy"] = entropy_energy(
                 res.eigenvalues, bd.kweights, epsF, temperature, smearing, filled)
         return (rho_out, res.X, res.eigenvalues, occ, epsF, energies,
-                res.n_iter, res.n_matvec, V_out)
+                res.n_iter, res.n_matvec, V_out, tau_out)
 
     scf_step = jax.jit(scf_step)
 
@@ -160,9 +180,12 @@ def self_consistent_field(
     n_matvec_total = 0
     info = None
 
+    tau = None
+    if needs_tau:
+        tau = von_weizsaecker_tau(rho, Gcart)
     for it in range(maxiter):
         (rho_out, psi, eigvals, occ, epsF, energies, eig_iters, nmv,
-         V_out) = scf_step(rho, psi, diagtol)
+         V_out, tau_out) = scf_step(rho, psi, diagtol, tau)
         n_matvec_total += int(nmv)
 
         E_const = {"Ewald": terms.E_ewald, "PspCorrection": terms.E_psp_correction}
@@ -203,6 +226,8 @@ def self_consistent_field(
         if converged:
             rho = rho_out
             break
+        if needs_tau:
+            tau = tau_out      # tau follows psi (no separate mixing)
 
         # density update: precondition + Anderson + damping
         delta_rho = mix(delta_F)
