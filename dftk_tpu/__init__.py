@@ -11,7 +11,8 @@ Importing this package enables float64 (required for DFT accuracy).
 from . import config  # noqa: F401  (sets jax_enable_x64)
 
 from .models.model import Model
-from .models.standard import LDA, PBE, PBEsol, model_DFT, model_atomic
+from .models.standard import (LDA, PBE, PBE0, PBEsol, model_DFT,
+                              model_atomic, model_HF)
 from .models.elements import (ElementCoulomb, ElementGaussian, ElementPsp,
                               atomic_symbol)
 from .models.psp_hgh import PspHgh, load_psp_hgh, parse_hgh
@@ -19,9 +20,12 @@ from .models import smearing as Smearing
 from .basis import PlaneWaveBasis
 from .bzmesh import ExplicitKpoints, MonkhorstPack, kgrid_from_maximal_spacing
 from .ops.terms import (AtomicLocal, AtomicNonlocal, BlowupAbinit, BlowupCHV,
-                        BlowupIdentity, Entropy, Ewald, ExternalFromFourier,
-                        ExternalFromReal, Hartree, Kinetic, LocalNonlinearity,
-                        PairwisePotential, PspCorrection, Xc)
+                        BlowupIdentity, Entropy, Ewald, ExactExchange,
+                        ExternalFromFourier, ExternalFromReal, Hartree,
+                        Kinetic, LocalNonlinearity, PairwisePotential,
+                        PspCorrection, Xc)
+from .ops.coulomb import (Coulomb, LongRangeCoulomb, ShortRangeCoulomb,
+                          SphericallyTruncatedCoulomb)
 from .ops.density import compute_density, guess_density, total_density
 from .scf.driver import self_consistent_field, SCFResult
 from .scf.direct import direct_minimization

@@ -51,3 +51,23 @@ def PBE(lattice, atoms, positions, **kwargs):
 
 def PBEsol(lattice, atoms, positions, **kwargs):
     return model_DFT(lattice, atoms, positions, functionals="PBEsol", **kwargs)
+
+
+def PBE0(lattice, atoms, positions, **kwargs):
+    """PBE0 hybrid: 0.75 PBE_x + PBE_c + 0.25 exact exchange (Gamma-only)."""
+    from ..ops.terms import ExactExchange, Xc
+    terms = _base_terms(kwargs.get("temperature", 0.0)) + [
+        Xc((("gga_x_pbe", 0.75), ("gga_c_pbe", 1.0))),
+        ExactExchange(scaling_factor=0.25),
+    ]
+    return Model(lattice=lattice, atoms=list(atoms), positions=list(positions),
+                 term_types=terms, **kwargs)
+
+
+def model_HF(lattice, atoms, positions, **kwargs):
+    """Hartree-Fock: no XC, full exact exchange (Gamma-only)."""
+    from ..ops.terms import ExactExchange
+    terms = _base_terms(kwargs.get("temperature", 0.0)) + [
+        ExactExchange(scaling_factor=1.0)]
+    return Model(lattice=lattice, atoms=list(atoms), positions=list(positions),
+                 term_types=terms, **kwargs)

@@ -197,7 +197,7 @@ def xc_energy_split(functionals, rho, G_cart, volume, scaling=1.0):
     dvol = volume / N
 
     sigma = None
-    if any(f.family == "gga" for f in functionals):
+    if any(f.family in ("gga", "mgga") for f, _ in functionals):
         rho_G = dft3_real_input(rho, sign=-1)
         grads = []
         for a in range(3):
@@ -215,8 +215,8 @@ def xc_energy_split(functionals, rho, G_cart, volume, scaling=1.0):
             sigma = jnp.stack([saa, sab, sbb])
 
     E = 0.0
-    for f in functionals:
-        E = E + jnp.sum(f.energy(rho, sigma))
+    for f, fscale in functionals:
+        E = E + fscale * jnp.sum(f.energy(rho, sigma))
     return scaling * E * dvol
 
 

@@ -36,17 +36,21 @@ class Ham(NamedTuple):
     D: Any               # [nproj, nproj]
     Vtau: Any = None     # [nspin, grid] meta-GGA tau potential (or None)
     Gpk: Any = None      # [nk, nG, 3] Cartesian k+G (needed with Vtau)
+    exx_kernel: Any = None   # [n1,n2,n3] Fourier exchange kernel (or None)
+    exx_psi: Any = None      # [nk, nb_x, nG] orbitals generating the exchange
+    exx_occ: Any = None      # [nk, nb_x] their occupations / filled
 
 
 def build_ham(basis_data, terms_data: TermsData, V_local, kin_override=None,
-              Vtau=None):
+              Vtau=None, exx_kernel=None, exx_psi=None, exx_occ=None):
     kin = terms_data.kinetic_scale * basis_data.kin \
         if kin_override is None else kin_override
     return Ham(Gidx=basis_data.Gidx, mask=basis_data.mask, kin=kin,
                kspin=basis_data.kspin,
                V=V_local, P=terms_data.P, D=terms_data.D,
                Vtau=Vtau,
-               Gpk=basis_data.Gpk_cart if Vtau is not None else None)
+               Gpk=basis_data.Gpk_cart if Vtau is not None else None,
+               exx_kernel=exx_kernel, exx_psi=exx_psi, exx_occ=exx_occ)
 
 
 def apply_H(ham: Ham, psi, fft_size, volume, band_chunk: Optional[int] = None):
@@ -99,7 +103,52 @@ def apply_H(ham: Ham, psi, fft_size, volume, band_chunk: Optional[int] = None):
         Pd = jnp.einsum("kgp,kng->knp", ham.P.conj(), psi)
         out = out + jnp.einsum("kgp,pq,knq->kng", ham.P, ham.D.astype(ham.P.dtype), Pd)
 
+    # ---- exact exchange (Gamma-only): Hphi -= sum_n f_n psi_n K[psi_n* phi] --
+    if ham.exx_kernel is not None:
+        out = out + _apply_exchange(ham, psi, fft_size, volume)
+
     return out * ham.mask[:, None, :]
+
+
+def _apply_exchange(ham: Ham, phi, fft_size, volume):
+    """Fock exchange contribution (operators.jl:192-210 semantics):
+        (Vx phi)(r) = - sum_n (f_n/filled) psi_n(r) Poisson[psi_n^* phi](r).
+    One batched Poisson solve per generating orbital (lax.scan over n)."""
+    import numpy as np
+    N = int(np.prod(fft_size))
+    scale = N / math.sqrt(volume)
+
+    phir = jnp.fft.ifftn(
+        jax.vmap(lambda c, i, m: fftops.scatter_to_cube(c, i, m, fft_size)
+                 )(phi, ham.Gidx, ham.mask), axes=(-3, -2, -1)) * scale
+    psir = jnp.fft.ifftn(
+        jax.vmap(lambda c, i, m: fftops.scatter_to_cube(c, i, m, fft_size)
+                 )(ham.exx_psi, ham.Gidx, ham.mask), axes=(-3, -2, -1)) * scale
+
+    kern = ham.exx_kernel
+
+    def one_orbital(acc, inp):
+        psin, fn = inp          # [nk, grid], [nk]
+        pair = psin.conj()[:, None] * phir                  # [nk, nb, grid]
+        V = jnp.fft.ifftn(kern * jnp.fft.fftn(pair, axes=(-3, -2, -1)),
+                          axes=(-3, -2, -1))
+        acc = acc - fn[:, None, None, None, None] * psin[:, None] * V
+        return acc, None
+
+    acc0 = jnp.zeros_like(phir)
+    acc, _ = jax.lax.scan(one_orbital, acc0,
+                          (jnp.moveaxis(psir, 1, 0),
+                           jnp.moveaxis(ham.exx_occ, 1, 0)))
+    back = jnp.fft.fftn(acc, axes=(-3, -2, -1)) * (math.sqrt(volume) / N)
+    return jax.vmap(fftops.gather_from_cube)(back, ham.Gidx, ham.mask)
+
+
+def exchange_energy(ham: Ham, psi, occupation, kweights, fft_size, volume,
+                    filled):
+    """E_x = 1/2 sum_m w f_m <psi_m | Vx psi_m> (operator-consistent)."""
+    vx = _apply_exchange(ham, psi, fft_size, volume)
+    band_e = jnp.einsum("kng,kng->kn", psi.conj(), vx).real
+    return 0.5 * jnp.sum(kweights[:, None] * occupation * band_e)
 
 
 # ---------------------------------------------------------------------------
@@ -120,7 +169,7 @@ def xc_energy(functionals, rho, G_cube_cart, volume, scaling=1.0, tau=None):
     dvol = volume / N
 
     sigma = None
-    if any(f.family in ("gga", "mgga") for f in functionals):
+    if any(f.family in ("gga", "mgga") for f, _ in functionals):
         rho_G = jnp.fft.fftn(rho, axes=(-3, -2, -1))
         # grad_a rho_s(r); G_cube_cart [n1,n2,n3,3] includes the 2 pi factor
         grads = jnp.stack([
@@ -135,11 +184,11 @@ def xc_energy(functionals, rho, G_cube_cart, volume, scaling=1.0, tau=None):
             sigma = jnp.stack([saa, sab, sbb])
 
     E = 0.0
-    for f in functionals:
+    for f, fscale in functionals:
         if f.family == "mgga":
-            E = E + jnp.sum(f.energy(rho, sigma, tau))
+            E = E + fscale * jnp.sum(f.energy(rho, sigma, tau))
         else:
-            E = E + jnp.sum(f.energy(rho, sigma))
+            E = E + fscale * jnp.sum(f.energy(rho, sigma))
     return scaling * E * dvol
 
 

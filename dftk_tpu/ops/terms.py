@@ -143,6 +143,15 @@ class LocalNonlinearity:
 
 
 @dataclasses.dataclass(frozen=True)
+class ExactExchange:
+    """(Screened) Hartree-Fock exchange (reference terms/exact_exchange.jl):
+    E = -1/2 sum_nm (f_n f_m / filled) <nm|kernel|mn>.  Gamma-point only,
+    like the reference; kernel from ops/coulomb.py."""
+    scaling_factor: float = 1.0
+    kernel: object = None
+
+
+@dataclasses.dataclass(frozen=True)
 class PairwisePotential:
     """Classical pairwise interaction sum_{i<j,R} V(|ri - rj - R|)
     (reference terms/pairwise.jl), e.g. Lennard-Jones between nuclei.
@@ -178,6 +187,7 @@ class Terms:
     kinetic_scale: float
     rho_core_np: Optional[np.ndarray]    # NLCC core density on the grid
     kin_np: Optional[np.ndarray]         # kinetic override (blow-up), or None
+    exx_kernel_np: Optional[np.ndarray]  # Fourier exchange kernel, or None
     E_pairwise: float
     pairwise_forces: Optional[np.ndarray]
     E_ewald: float
@@ -241,6 +251,7 @@ def instantiate_terms(basis) -> Terms:
     kin_np = None
     E_pairwise = 0.0
     pairwise_forces = None
+    exx_kernel = None
     for term in types:
         if isinstance(term, Kinetic):
             kinetic_scale = term.scaling_factor
@@ -249,6 +260,11 @@ def instantiate_terms(basis) -> Terms:
                 pk = np.linalg.norm(basis.Gpk_cart_np, axis=-1)
                 kin_np = (term.scaling_factor * 0.5 * pk ** 2
                           * term.blowup(pk, basis.Ecut)) * basis.mask_np
+        elif isinstance(term, ExactExchange):
+            from .coulomb import Coulomb as _Coulomb
+            kern = term.kernel if term.kernel is not None else _Coulomb()
+            exx_kernel = term.scaling_factor * kern.fourier(
+                Gsq, model.unit_cell_volume)
         elif isinstance(term, PairwisePotential):
             from .pairwise import energy_forces_pairwise
             E_pw, F_pw = energy_forces_pairwise(
@@ -300,7 +316,8 @@ def instantiate_terms(basis) -> Terms:
                   P_np=P, D_np=D, Gsq_np=Gsq,
                   kinetic_scale=float(kinetic_scale),
                   rho_core_np=rho_core,
-                  kin_np=kin_np, E_pairwise=E_pairwise,
+                  kin_np=kin_np, exx_kernel_np=exx_kernel,
+                  E_pairwise=E_pairwise,
                   pairwise_forces=pairwise_forces,
                   E_ewald=E_ewald, E_psp_correction=E_psp,
                   xc=xc_functionals, xc_scaling=xc_scaling,

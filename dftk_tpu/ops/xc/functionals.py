@@ -273,11 +273,17 @@ FUNCTIONAL_SETS = {
 
 
 def resolve_functionals(functionals):
+    """Accept a set name, names, or (name, scale) pairs; returns
+    [(Functional, scale), ...]."""
     if isinstance(functionals, str):
-        if functionals in FUNCTIONAL_SETS:
-            names = FUNCTIONAL_SETS[functionals]
-        else:
-            names = (functionals,)
+        names = FUNCTIONAL_SETS.get(functionals, (functionals,))
     else:
         names = tuple(functionals)
-    return [FUNCTIONALS[n] for n in names]
+    out = []
+    for entry in names:
+        if isinstance(entry, (tuple, list)):
+            name, scale = entry
+        else:
+            name, scale = entry, 1.0
+        out.append((FUNCTIONALS[name], float(scale)))
+    return out

@@ -117,7 +117,13 @@ def self_consistent_field(
     symmetrizer = make_symmetrizer(basis)
     bd = basis.data
     td = terms.data
-    needs_tau = any(f.family == "mgga" for f in terms.xc)
+    needs_tau = any(f.family == "mgga" for f, _ in terms.xc)
+    has_exx = terms.exx_kernel_np is not None
+    if has_exx:
+        assert basis.n_kpoints == nspin, \
+            "ExactExchange currently requires Gamma-point-only calculations " \
+            "(like the reference, terms/exact_exchange.jl:52)"
+        exx_kernel = jnp.asarray(terms.exx_kernel_np)
     fft_size = basis.fft_size
     volume = model.unit_cell_volume
     dvol = basis.dvol
@@ -126,14 +132,18 @@ def self_consistent_field(
     temperature = model.temperature
     smearing = model.smearing
 
-    def scf_step(rho_in, psi_in, diagtol, tau_in=None):
+    def scf_step(rho_in, psi_in, diagtol, tau_in=None, exx_occ_in=None):
+        exx_kw = {}
+        if has_exx:
+            exx_kw = dict(exx_kernel=exx_kernel, exx_psi=psi_in,
+                          exx_occ=exx_occ_in / filled)
         if needs_tau:
             V, Vtau, _ = hamops.total_potential(terms, rho_in, Gcart, volume,
                                                 tau=tau_in)
-            ham = hamops.build_ham(bd, td, V, Vtau=Vtau)
+            ham = hamops.build_ham(bd, td, V, Vtau=Vtau, **exx_kw)
         else:
             V, _ = hamops.total_potential(terms, rho_in, Gcart, volume)
-            ham = hamops.build_ham(bd, td, V)
+            ham = hamops.build_ham(bd, td, V, **exx_kw)
         applyH = lambda p: hamops.apply_H(ham, p, fft_size, volume,
                                           band_chunk=band_chunk)
         res = lobpcg(applyH, psi_in, ham.kin, bd.mask, tol=diagtol,
@@ -161,6 +171,11 @@ def self_consistent_field(
             ham_out = hamops.build_ham(bd, td, V_out)
         energies.update(hamops.psi_energies(ham_out, terms, res.X, occ,
                                             bd.kweights))
+        if has_exx:
+            ham_x = ham_out._replace(exx_kernel=exx_kernel, exx_psi=res.X,
+                                     exx_occ=occ / filled)
+            energies["ExactExchange"] = hamops.exchange_energy(
+                ham_x, res.X, occ, bd.kweights, fft_size, volume, filled)
         if terms.has_entropy:
             energies["Entropy"] = entropy_energy(
                 res.eigenvalues, bd.kweights, epsF, temperature, smearing, filled)
@@ -183,9 +198,20 @@ def self_consistent_field(
     tau = None
     if needs_tau:
         tau = von_weizsaecker_tau(rho, Gcart)
+    exx_occ = None
+    if has_exx:
+        # start from the aufbau guess (exchange needs occupations of psi_in)
+        from ..ops.occupation import compute_occupation as _co
+        nb0 = psi.shape[1]
+        n_occ0 = int(round(model.n_electrons / filled))
+        exx_occ = jnp.where(jnp.arange(nb0)[None, :] < n_occ0,
+                            float(filled), 0.0)
+        exx_occ = jnp.broadcast_to(exx_occ, (basis.n_kpoints, nb0))
     for it in range(maxiter):
         (rho_out, psi, eigvals, occ, epsF, energies, eig_iters, nmv,
-         V_out, tau_out) = scf_step(rho, psi, diagtol, tau)
+         V_out, tau_out) = scf_step(rho, psi, diagtol, tau, exx_occ)
+        if has_exx:
+            exx_occ = occ
         n_matvec_total += int(nmv)
 
         E_const = {"Ewald": terms.E_ewald, "PspCorrection": terms.E_psp_correction}
