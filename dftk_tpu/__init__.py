@@ -24,6 +24,8 @@ from .ops.terms import (AtomicLocal, AtomicNonlocal, BlowupAbinit, BlowupCHV,
                         ExternalFromFourier, ExternalFromReal, Hartree,
                         Kinetic, LocalNonlinearity, PairwisePotential,
                         PspCorrection, Xc)
+from .ops.terms import Hubbard
+from .ops.hubbard import HubbardManifold
 from .ops.coulomb import (Coulomb, LongRangeCoulomb, ShortRangeCoulomb,
                           SphericallyTruncatedCoulomb)
 from .ops.density import compute_density, guess_density, total_density

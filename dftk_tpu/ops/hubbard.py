@@ -1,0 +1,115 @@
+"""DFT+U (rotationally invariant Dudarev form).
+
+Mirrors DFTK `src/terms/hubbard.jl`: a Hubbard correction on a manifold of
+pseudo-atomic orbitals (from the UPF pseudo-wavefunctions),
+
+    E_U = sum_sigma U/2 Tr[ n^sigma (1 - n^sigma) ],
+    n^sigma_{mm'} = sum_{kn in sigma} w_k f_kn <psi_kn|phi_m><phi_m'|psi_kn>
+
+with the corresponding potential  V_U = sum_{mm'} U (1/2 delta - n)_{mm'}
+|phi_m><phi_m'| applied like a nonlocal projector pair (one extra pair of
+GEMMs in H psi).  The occupation matrix is built from the previous SCF
+iterate (same strategy as the exchange operator).
+"""
+import dataclasses
+import math
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.special import LM_INDEX, solid_harmonics_real
+
+
+@dataclasses.dataclass(frozen=True)
+class HubbardManifold:
+    atom_index: int
+    l: int
+    U: float            # Hubbard U (Hartree)
+    i: int = 1          # which radial pswfc of that l (1-based)
+
+
+def build_hubbard_projectors(basis, manifolds: Sequence[HubbardManifold]):
+    """Phi [nk, nG, n_orb] atomic-orbital projectors (normalised per orbital).
+
+    Ordering: manifolds in input order, m = -l..l within each.
+    """
+    model = basis.model
+    sqrt_vol = math.sqrt(model.unit_cell_volume)
+    Gpk = basis.Gpk_cart_np
+    Gpk_norm = np.linalg.norm(Gpk, axis=-1)
+    Gred_pk = basis.Gred_np.astype(float) + basis.kcoords_spin[:, None, :]
+
+    cols = []
+    slices = []
+    for mf in manifolds:
+        at = model.atoms[mf.atom_index]
+        psp = at.psp
+        if not hasattr(psp, "pswfc_fourier"):
+            raise ValueError("Hubbard manifolds need pseudo-atomic orbitals "
+                             "(UPF pseudopotentials)")
+        rad = psp.pswfc_fourier(mf.i, mf.l, Gpk_norm)
+        Y = solid_harmonics_real(Gpk, mf.l)
+        sf = np.exp(-2j * math.pi
+                    * (Gred_pk @ np.asarray(model.positions[mf.atom_index])))
+        start = len(cols)
+        for m in range(-mf.l, mf.l + 1):
+            col = (sf * rad * (-1j) ** mf.l * Y[..., LM_INDEX[(mf.l, m)]]
+                   / sqrt_vol) * basis.mask_np
+            # normalise the projector on the discrete basis
+            nrm = np.sqrt(np.sum(np.abs(col) ** 2, axis=1, keepdims=True))
+            cols.append(col / np.maximum(nrm, 1e-300))
+        slices.append((start, len(cols)))
+    Phi = np.stack(cols, axis=-1)          # [nk, nG, n_orb]
+    return jnp.asarray(Phi), slices
+
+
+def occupation_matrix(Phi, psi, occupation, kweights, kspin, n_spin):
+    """n^sigma_{mm'} [nspin, n_orb, n_orb] (Hermitian)."""
+    proj = jnp.einsum("kgm,kng->knm", Phi.conj(), psi)     # <phi_m|psi>
+    w = kweights[:, None] * occupation
+    nk_mat = jnp.einsum("kn,knm,knp->kmp", w, proj, proj.conj())
+    sel = jax.nn.one_hot(kspin, n_spin, dtype=nk_mat.real.dtype)
+    n = jnp.einsum("ks,kmp->smp", sel, nk_mat)
+    return (n + n.conj().swapaxes(1, 2)) / 2
+
+
+def hubbard_energy(n, manifolds, slices, filled):
+    """E_U = sum_sigma sum_manifolds U/2 Tr[n (1 - n)].
+
+    For non-spin-polarised runs the occupations include the factor
+    filled=2, so n is rescaled per spin channel (n -> n/filled * ... the
+    reference treats each spin channel separately; with nspin=1 both
+    channels are identical and carry n/2 each).
+    """
+    nspin = n.shape[0]
+    scale = filled if nspin == 1 else 1.0
+    E = 0.0
+    for mf, (a, b) in zip(manifolds, slices):
+        for s in range(nspin):
+            ns = n[s, a:b, a:b] / scale
+            tr = jnp.trace(ns - ns @ ns).real
+            E = E + scale * mf.U / 2 * tr
+    return E
+
+
+def hubbard_potential_matrix(n, manifolds, slices, filled):
+    """V_{mm'} [nspin, n_orb, n_orb]: U (1/2 delta - n)."""
+    nspin = n.shape[0]
+    scale = filled if nspin == 1 else 1.0
+    V = jnp.zeros_like(n)
+    for mf, (a, b) in zip(manifolds, slices):
+        for s in range(nspin):
+            ns = n[s, a:b, a:b] / scale
+            block = mf.U * (0.5 * jnp.eye(b - a, dtype=n.dtype) - ns)
+            V = V.at[s, a:b, a:b].set(block)
+    return V
+
+
+def apply_hubbard(Phi, Vmat, kspin, psi):
+    """H psi += sum_{mm'} V_{mm'} |phi_m><phi_m'|psi."""
+    proj = jnp.einsum("kgm,kng->knm", Phi.conj(), psi)
+    Vk = Vmat[kspin]                                       # [nk, n_orb, n_orb]
+    coeff = jnp.einsum("kmp,knp->knm", Vk, proj)
+    return jnp.einsum("kgm,knm->kng", Phi, coeff)

@@ -143,6 +143,13 @@ class LocalNonlinearity:
 
 
 @dataclasses.dataclass(frozen=True)
+class Hubbard:
+    """DFT+U on pseudo-atomic orbital manifolds (ops/hubbard.py);
+    manifolds: tuple of HubbardManifold."""
+    manifolds: tuple = ()
+
+
+@dataclasses.dataclass(frozen=True)
 class ExactExchange:
     """(Screened) Hartree-Fock exchange (reference terms/exact_exchange.jl):
     E = -1/2 sum_nm (f_n f_m / filled) <nm|kernel|mn>.  Gamma-point only,
@@ -188,6 +195,7 @@ class Terms:
     rho_core_np: Optional[np.ndarray]    # NLCC core density on the grid
     kin_np: Optional[np.ndarray]         # kinetic override (blow-up), or None
     exx_kernel_np: Optional[np.ndarray]  # Fourier exchange kernel, or None
+    hubbard_manifolds: Optional[tuple]
     E_pairwise: float
     pairwise_forces: Optional[np.ndarray]
     E_ewald: float
@@ -252,6 +260,7 @@ def instantiate_terms(basis) -> Terms:
     E_pairwise = 0.0
     pairwise_forces = None
     exx_kernel = None
+    hubbard_manifolds = None
     for term in types:
         if isinstance(term, Kinetic):
             kinetic_scale = term.scaling_factor
@@ -260,6 +269,8 @@ def instantiate_terms(basis) -> Terms:
                 pk = np.linalg.norm(basis.Gpk_cart_np, axis=-1)
                 kin_np = (term.scaling_factor * 0.5 * pk ** 2
                           * term.blowup(pk, basis.Ecut)) * basis.mask_np
+        elif isinstance(term, Hubbard):
+            hubbard_manifolds = tuple(term.manifolds)
         elif isinstance(term, ExactExchange):
             from .coulomb import Coulomb as _Coulomb
             kern = term.kernel if term.kernel is not None else _Coulomb()
@@ -317,6 +328,7 @@ def instantiate_terms(basis) -> Terms:
                   kinetic_scale=float(kinetic_scale),
                   rho_core_np=rho_core,
                   kin_np=kin_np, exx_kernel_np=exx_kernel,
+                  hubbard_manifolds=hubbard_manifolds,
                   E_pairwise=E_pairwise,
                   pairwise_forces=pairwise_forces,
                   E_ewald=E_ewald, E_psp_correction=E_psp,

@@ -119,6 +119,13 @@ def self_consistent_field(
     td = terms.data
     needs_tau = any(f.family == "mgga" for f, _ in terms.xc)
     has_exx = terms.exx_kernel_np is not None
+    has_hubbard = terms.hubbard_manifolds is not None
+    if has_hubbard:
+        from ..ops.hubbard import (apply_hubbard, build_hubbard_projectors,
+                                   hubbard_energy, hubbard_potential_matrix,
+                                   occupation_matrix)
+        hub_Phi, hub_slices = build_hubbard_projectors(
+            basis, terms.hubbard_manifolds)
     if has_exx:
         assert basis.n_kpoints == nspin, \
             "ExactExchange currently requires Gamma-point-only calculations " \
@@ -144,8 +151,20 @@ def self_consistent_field(
         else:
             V, _ = hamops.total_potential(terms, rho_in, Gcart, volume)
             ham = hamops.build_ham(bd, td, V, **exx_kw)
-        applyH = lambda p: hamops.apply_H(ham, p, fft_size, volume,
-                                          band_chunk=band_chunk)
+        if has_hubbard:
+            occ_in = exx_occ_in if exx_occ_in is not None else \
+                jnp.zeros(psi_in.shape[:2])
+            n_hub = occupation_matrix(hub_Phi, psi_in, occ_in, bd.kweights,
+                                      bd.kspin, nspin)
+            Vhub = hubbard_potential_matrix(n_hub, terms.hubbard_manifolds,
+                                            hub_slices, filled)
+            applyH = lambda p: (hamops.apply_H(ham, p, fft_size, volume,
+                                               band_chunk=band_chunk)
+                                + apply_hubbard(hub_Phi, Vhub, bd.kspin, p)
+                                * bd.mask[:, None, :])
+        else:
+            applyH = lambda p: hamops.apply_H(ham, p, fft_size, volume,
+                                              band_chunk=band_chunk)
         res = lobpcg(applyH, psi_in, ham.kin, bd.mask, tol=diagtol,
                      maxiter=eigensolver_maxiter, n_conv=n_bands)
         occ, epsF = compute_occupation(res.eigenvalues, bd.kweights,
@@ -176,6 +195,11 @@ def self_consistent_field(
                                      exx_occ=occ / filled)
             energies["ExactExchange"] = hamops.exchange_energy(
                 ham_x, res.X, occ, bd.kweights, fft_size, volume, filled)
+        if has_hubbard:
+            n_out = occupation_matrix(hub_Phi, res.X, occ, bd.kweights,
+                                      bd.kspin, nspin)
+            energies["Hubbard"] = hubbard_energy(
+                n_out, terms.hubbard_manifolds, hub_slices, filled)
         if terms.has_entropy:
             energies["Entropy"] = entropy_energy(
                 res.eigenvalues, bd.kweights, epsF, temperature, smearing, filled)
@@ -199,7 +223,7 @@ def self_consistent_field(
     if needs_tau:
         tau = von_weizsaecker_tau(rho, Gcart)
     exx_occ = None
-    if has_exx:
+    if has_exx or has_hubbard:
         # start from the aufbau guess (exchange needs occupations of psi_in)
         from ..ops.occupation import compute_occupation as _co
         nb0 = psi.shape[1]
@@ -210,7 +234,7 @@ def self_consistent_field(
     for it in range(maxiter):
         (rho_out, psi, eigvals, occ, epsF, energies, eig_iters, nmv,
          V_out, tau_out) = scf_step(rho, psi, diagtol, tau, exx_occ)
-        if has_exx:
+        if has_exx or has_hubbard:
             exx_occ = occ
         n_matvec_total += int(nmv)
 

@@ -1,0 +1,60 @@
+"""Solver cross-validation (the reference's scf_compare strategy):
+density mixing, potential mixing, Newton, and direct minimization must all
+reach the same ground state."""
+import numpy as np
+import pytest
+
+import dftk_tpu as dftk
+from dftk_tpu.scf.newton import newton
+from dftk_tpu.scf.potential_mixing import scf_potential_mixing
+
+
+@pytest.fixture(scope="module")
+def si_basis():
+    from testcases import make_silicon_model, silicon
+    model = make_silicon_model()
+    return dftk.PlaneWaveBasis(model, Ecut=6.0, kgrid=silicon["kgrid"],
+                               fft_size=(16,) * 3)
+
+
+def test_potential_mixing_matches_density_mixing(si_basis):
+    r1 = dftk.self_consistent_field(si_basis, tol=1e-10, maxiter=50)
+    r2 = scf_potential_mixing(si_basis, tol=1e-9, maxiter=60)
+    assert r2.converged
+    assert abs(r1.total_energy - r2.total_energy) < 1e-8
+
+
+def test_newton_matches_scf_unsymmetrized():
+    # Newton works on the plain variational functional: compare on a full
+    # (unreduced) k-grid where symmetrization is immaterial
+    from testcases import make_silicon_model
+    model = make_silicon_model()
+    basis = dftk.PlaneWaveBasis(model, Ecut=6.0,
+                                kgrid=dftk.MonkhorstPack((2, 2, 2)),
+                                fft_size=(16,) * 3,
+                                use_symmetries_for_kpoint_reduction=False)
+    r1 = dftk.self_consistent_field(basis, tol=1e-11, maxiter=50)
+    r2 = newton(basis, tol=1e-12, maxiter=12)
+    assert r2.converged
+    assert r2.n_iter <= 8     # quadratic convergence
+    assert abs(r1.total_energy - r2.total_energy) < 1e-8
+
+
+def test_hubbard_term():
+    import os
+    UPF = "/root/reference/test/pseudos/gth/Si.pbe-hgh.upf"
+    if not os.path.exists(UPF):
+        pytest.skip("reference UPF not available")
+    from testcases import silicon
+    Si = dftk.ElementPsp.from_symbol("Si", psp=UPF)
+    mfs = (dftk.HubbardManifold(atom_index=0, l=1, U=0.1),
+           dftk.HubbardManifold(atom_index=1, l=1, U=0.1))
+    m = dftk.model_DFT(silicon["lattice"], [Si, Si], silicon["positions"],
+                       functionals="PBE",
+                       extra_terms=[dftk.Hubbard(manifolds=mfs)])
+    b = dftk.PlaneWaveBasis(m, Ecut=6.0, kgrid=silicon["kgrid"],
+                            fft_size=(16,) * 3)
+    r = dftk.self_consistent_field(b, tol=1e-7, maxiter=40,
+                                   is_converged="energy")
+    assert r.converged
+    assert 0 < r.energies["Hubbard"] < 0.2   # penalises partial p occupation
