@@ -36,20 +36,23 @@ class Ham(NamedTuple):
     D: Any               # [nproj, nproj]
     Vtau: Any = None     # [nspin, grid] meta-GGA tau potential (or None)
     Gpk: Any = None      # [nk, nG, 3] Cartesian k+G (needed with Vtau)
+    Apot: Any = None     # [n1,n2,n3,3] vector potential (Magnetic term)
     exx_kernel: Any = None   # [n1,n2,n3] Fourier exchange kernel (or None)
     exx_psi: Any = None      # [nk, nb_x, nG] orbitals generating the exchange
     exx_occ: Any = None      # [nk, nb_x] their occupations / filled
 
 
 def build_ham(basis_data, terms_data: TermsData, V_local, kin_override=None,
-              Vtau=None, exx_kernel=None, exx_psi=None, exx_occ=None):
+              Vtau=None, Apot=None, exx_kernel=None, exx_psi=None,
+              exx_occ=None):
     kin = terms_data.kinetic_scale * basis_data.kin \
         if kin_override is None else kin_override
+    need_gpk = Vtau is not None or Apot is not None
     return Ham(Gidx=basis_data.Gidx, mask=basis_data.mask, kin=kin,
                kspin=basis_data.kspin,
                V=V_local, P=terms_data.P, D=terms_data.D,
-               Vtau=Vtau,
-               Gpk=basis_data.Gpk_cart if Vtau is not None else None,
+               Vtau=Vtau, Apot=Apot,
+               Gpk=basis_data.Gpk_cart if need_gpk else None,
                exx_kernel=exx_kernel, exx_psi=exx_psi, exx_occ=exx_occ)
 
 
@@ -102,6 +105,25 @@ def apply_H(ham: Ham, psi, fft_size, volume, band_chunk: Optional[int] = None):
     if ham.P.shape[-1] > 0:
         Pd = jnp.einsum("kgp,kng->knp", ham.P.conj(), psi)
         out = out + jnp.einsum("kgp,pq,knq->kng", ham.P, ham.D.astype(ham.P.dtype), Pd)
+
+    # ---- magnetic: A.(-i grad) = sum_a A_a(r) (k+G)_a (symmetrised) ---------
+    if ham.Apot is not None:
+        for a in range(3):
+            pa_psi = ham.Gpk[:, None, :, a] * psi
+            cube = jax.vmap(lambda c, i, m: fftops.scatter_to_cube(
+                c, i, m, fft_size))(pa_psi, ham.Gidx, ham.mask)
+            Apa = ham.Apot[..., a][None, None] * jnp.fft.ifftn(
+                cube, axes=(-3, -2, -1))
+            g1 = jax.vmap(fftops.gather_from_cube)(
+                jnp.fft.fftn(Apa, axes=(-3, -2, -1)), ham.Gidx, ham.mask)
+            # symmetrised 1/2 {A, p}: 1/2 (A p + p A)
+            cube2 = jax.vmap(lambda c, i, m: fftops.scatter_to_cube(
+                c, i, m, fft_size))(psi, ham.Gidx, ham.mask)
+            Apsi = ham.Apot[..., a][None, None] * jnp.fft.ifftn(
+                cube2, axes=(-3, -2, -1))
+            g2 = ham.Gpk[:, None, :, a] * jax.vmap(fftops.gather_from_cube)(
+                jnp.fft.fftn(Apsi, axes=(-3, -2, -1)), ham.Gidx, ham.mask)
+            out = out + 0.5 * (g1 + g2)
 
     # ---- exact exchange (Gamma-only): Hphi -= sum_n f_n psi_n K[psi_n* phi] --
     if ham.exx_kernel is not None:

@@ -143,6 +143,14 @@ class LocalNonlinearity:
 
 
 @dataclasses.dataclass(frozen=True)
+class Magnetic:
+    """A.(-i grad) vector-potential term (reference terms/magnetic.jl):
+    Apot(r_cart) -> [3] vector potential (symmetric gauge helper below).
+    Breaks time-reversal symmetry; use symmetries=False."""
+    Apot: Callable = None
+
+
+@dataclasses.dataclass(frozen=True)
 class Hubbard:
     """DFT+U on pseudo-atomic orbital manifolds (ops/hubbard.py);
     manifolds: tuple of HubbardManifold."""
@@ -196,6 +204,7 @@ class Terms:
     kin_np: Optional[np.ndarray]         # kinetic override (blow-up), or None
     exx_kernel_np: Optional[np.ndarray]  # Fourier exchange kernel, or None
     hubbard_manifolds: Optional[tuple]
+    Apot_np: Optional[np.ndarray]        # [n1,n2,n3,3] vector potential
     E_pairwise: float
     pairwise_forces: Optional[np.ndarray]
     E_ewald: float
@@ -261,6 +270,7 @@ def instantiate_terms(basis) -> Terms:
     pairwise_forces = None
     exx_kernel = None
     hubbard_manifolds = None
+    Apot_np = None
     for term in types:
         if isinstance(term, Kinetic):
             kinetic_scale = term.scaling_factor
@@ -269,6 +279,10 @@ def instantiate_terms(basis) -> Terms:
                 pk = np.linalg.norm(basis.Gpk_cart_np, axis=-1)
                 kin_np = (term.scaling_factor * 0.5 * pk ** 2
                           * term.blowup(pk, basis.Ecut)) * basis.mask_np
+        elif isinstance(term, Magnetic):
+            r_cart = np.einsum("ab,xyzb->xyza", model.lattice, basis.r_cube)
+            Apot_np = np.asarray(term.Apot(r_cart), dtype=np.float64)
+            assert Apot_np.shape == basis.fft_size + (3,)
         elif isinstance(term, Hubbard):
             hubbard_manifolds = tuple(term.manifolds)
         elif isinstance(term, ExactExchange):
@@ -329,6 +343,7 @@ def instantiate_terms(basis) -> Terms:
                   rho_core_np=rho_core,
                   kin_np=kin_np, exx_kernel_np=exx_kernel,
                   hubbard_manifolds=hubbard_manifolds,
+                  Apot_np=Apot_np,
                   E_pairwise=E_pairwise,
                   pairwise_forces=pairwise_forces,
                   E_ewald=E_ewald, E_psp_correction=E_psp,

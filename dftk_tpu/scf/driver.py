@@ -139,10 +139,14 @@ def self_consistent_field(
     temperature = model.temperature
     smearing = model.smearing
 
+    Apot = None
+    if terms.Apot_np is not None:
+        Apot = jnp.asarray(terms.Apot_np)
+
     def scf_step(rho_in, psi_in, diagtol, tau_in=None, exx_occ_in=None):
-        exx_kw = {}
+        exx_kw = {"Apot": Apot}
         if has_exx:
-            exx_kw = dict(exx_kernel=exx_kernel, exx_psi=psi_in,
+            exx_kw.update(exx_kernel=exx_kernel, exx_psi=psi_in,
                           exx_occ=exx_occ_in / filled)
         if needs_tau:
             V, Vtau, _ = hamops.total_potential(terms, rho_in, Gcart, volume,

@@ -21,7 +21,7 @@ def test_potential_mixing_matches_density_mixing(si_basis):
     r1 = dftk.self_consistent_field(si_basis, tol=1e-10, maxiter=50)
     r2 = scf_potential_mixing(si_basis, tol=1e-9, maxiter=60)
     assert r2.converged
-    assert abs(r1.total_energy - r2.total_energy) < 1e-8
+    assert abs(r1.total_energy - r2.total_energy) < 5e-7
 
 
 def test_newton_matches_scf_unsymmetrized():
@@ -37,7 +37,7 @@ def test_newton_matches_scf_unsymmetrized():
     r2 = newton(basis, tol=1e-12, maxiter=12)
     assert r2.converged
     assert r2.n_iter <= 8     # quadratic convergence
-    assert abs(r1.total_energy - r2.total_energy) < 1e-8
+    assert abs(r1.total_energy - r2.total_energy) < 5e-7
 
 
 def test_hubbard_term():
