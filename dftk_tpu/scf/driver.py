@@ -27,7 +27,7 @@ from ..ops.density import (compute_density, compute_kinetic_energy_density,
 from ..ops.eigen.lobpcg import lobpcg, ortho_qr
 from ..ops.occupation import compute_occupation, entropy_energy
 from .anderson import AndersonAcceleration
-from .mixing import KerkerMixing, SimpleMixing
+from .mixing import KerkerMixing, LdosMixing, SimpleMixing
 
 
 @dataclasses.dataclass
@@ -214,7 +214,27 @@ def self_consistent_field(
 
     anderson = AndersonAcceleration(m=anderson_depth)
     Gsq = td.Gsq_cart
-    mix = jax.jit(lambda dF: mixing.mix_density(dF, Gsq))
+    is_ldos_mixing = isinstance(mixing, LdosMixing)
+    if not is_ldos_mixing:
+        mix = jax.jit(lambda dF: mixing.mix_density(dF, Gsq))
+
+    @jax.jit
+    def _ldos_at(psi_c, eigvals_c, epsF_c):
+        from ..ops import fft as fftops_
+        import numpy as _np
+        N = int(np.prod(fft_size))
+        scale = N / np.sqrt(volume)
+        cube = jax.vmap(lambda c, i, m: fftops_.scatter_to_cube(
+            c, i, m, fft_size))(psi_c, bd.Gidx, bd.mask)
+        psir2 = jnp.abs(jnp.fft.ifftn(cube, axes=(-3, -2, -1)) * scale) ** 2
+        T_eff = temperature if temperature > 0 else 1e-3
+        x = (eigvals_c - epsF_c) / T_eff
+        docc = jax.vmap(jax.vmap(jax.grad(
+            lambda t: smearing.occupation(t) if temperature > 0
+            else jax.nn.sigmoid(-t))))(x)
+        w = -filled / T_eff * bd.kweights[:, None] * docc
+        ld = jnp.einsum("kn,knxyz->xyz", w, psir2)
+        return ld[None]
 
     history_E, history_drho = [], []
     E_prev = None
@@ -284,7 +304,12 @@ def self_consistent_field(
             tau = tau_out      # tau follows psi (no separate mixing)
 
         # density update: precondition + Anderson + damping
-        delta_rho = mix(delta_F)
+        if is_ldos_mixing:
+            ldos = _ldos_at(psi, jnp.asarray(eigvals), jnp.asarray(epsF))
+            delta_rho = mixing.mix_density(delta_F, Gsq, ldos=ldos,
+                                           dvol=dvol)
+        else:
+            delta_rho = mix(delta_F)
         rho = anderson(rho, delta_rho, damping)
         # adaptive eigensolver tolerance, tightening with density residual
         diagtol = min(diagtol, max(diagtol_ratio * drho, diagtol_min))

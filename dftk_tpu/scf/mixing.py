@@ -48,6 +48,49 @@ class DielectricMixing:
         return _apply_fourier_factor_total(delta_F, 1.0 / eps)
 
 
+@dataclasses.dataclass(frozen=True)
+class LdosMixing:
+    """chi0-model mixing (the reference default, mixing.jl:196-233):
+    delta_rho solves  (1 - K chi0_model) delta_rho = delta_F  with the
+    LDOS rank-1 + diagonal model
+        chi0(dV) = -ldos dV + ldos <ldos, dV> / dos
+    and K the RPA (Hartree) kernel.  Solved by a short host-side GMRES of
+    cheap elementwise+FFT matvecs.  Falls back to Kerker-like behaviour in
+    metals and ~identity in insulators (ldos -> 0)."""
+    alpha: float = 0.8
+    tol: float = 1e-5
+    maxiter: int = 20
+
+    def mix_density(self, delta_F, Gsq, ldos=None, dvol=None):
+        if ldos is None or dvol is None:
+            return delta_F
+        import numpy as np
+        total = jnp.sum(delta_F, axis=0)
+        ldos_tot = jnp.sum(ldos, axis=0)
+        dos = jnp.sum(ldos_tot) * dvol
+
+        vc = jnp.where(Gsq > 0, 4 * jnp.pi / jnp.where(Gsq > 0, Gsq, 1.0), 0.0)
+
+        def K(drho):        # Hartree kernel
+            return jnp.fft.ifftn(vc * jnp.fft.fftn(drho)).real
+
+        def chi0(dV):
+            t = -ldos_tot * dV
+            corr = ldos_tot * (jnp.sum(ldos_tot * dV) * dvol
+                               / jnp.maximum(dos, 1e-14))
+            return t + corr
+
+        def eps(drho):      # (1 - K chi0)... acting on drho: drho - chi0(K drho)
+            return drho - chi0(K(drho))
+
+        from ..response.hessian import gmres
+        mixed_tot = gmres(eps, total, tol=self.tol, maxiter=self.maxiter)
+        if delta_F.shape[0] == 1:
+            return mixed_tot[None]
+        spin = delta_F[0] - delta_F[1]
+        return jnp.stack([(mixed_tot + spin) / 2, (mixed_tot - spin) / 2])
+
+
 def _apply_fourier_factor_total(delta_F, factor):
     """Apply a Fourier-space factor to the *total* density channel only.
 

@@ -124,6 +124,24 @@ def symmetry_operations(lattice, atoms, positions, magnetic_moments=None,
     for i, k in enumerate(keys):
         groups.setdefault(k, []).append(i)
     group_lists = list(groups.values())
+
+    # try the native (C++) engine first - identical algorithm, much faster
+    # for large cells (csrc/symmetry_engine.cpp)
+    try:
+        from .utils.native import native_symmetry_operations
+        type_ids = {k: i for i, k in enumerate(groups)}
+        types = [type_ids[k] for k in keys]
+        native = native_symmetry_operations(lattice, np.stack(positions),
+                                            types, tol=tol)
+    except Exception:
+        native = None
+    if native is not None:
+        Ws, ws = native
+        ops = [SymOp.make(W, w) for W, w in zip(Ws, ws)]
+        if not any(op.is_identity() for op in ops):
+            ops.insert(0, SymOp.identity())
+        return ops
+
     # smallest group anchors the translation search
     anchor = min(group_lists, key=len)
 
