@@ -157,6 +157,45 @@ class ElementGaussian(Element):
             * xp.exp(-((r / self.L) ** 2) / 2)
 
 
+@dataclasses.dataclass(frozen=True)
+class ElementCohenBergstresser(Element):
+    """Empirical local potential of Cohen-Bergstresser (PRB 141, 789 (1966))
+    for Si / Ge / Sn: form factors at the |G|^2 = 3, 8, 11 shells (in units
+    of (2 pi / a)^2).  Matches the reference elements.jl Cohen-Bergstresser
+    support (band structures without SCF)."""
+    symbol: str = "Si"
+
+    # V3, V8, V11 symmetric form factors in Ry, and lattice constants (bohr)
+    _DATA = {
+        "Si": dict(a=10.26, form_factors={3: -0.21, 8: 0.04, 11: 0.08}),
+        "Ge": dict(a=10.69, form_factors={3: -0.23, 8: 0.01, 11: 0.06}),
+        "Sn": dict(a=12.25, form_factors={3: -0.20, 8: 0.00, 11: 0.04}),
+    }
+
+    def charge_nuclear(self):
+        return ATOMIC_NUMBERS[self.symbol]
+
+    def charge_ionic(self):
+        return 4
+
+    @property
+    def lattice_constant(self):
+        return self._DATA[self.symbol]["a"]
+
+    def local_potential_fourier(self, p):
+        xp = np if isinstance(p, np.ndarray) else __import__("jax.numpy", fromlist=["x"])
+        data = self._DATA[self.symbol]
+        unit = 2 * math.pi / data["a"]
+        psq_unit = (p / unit) ** 2
+        out = xp.zeros_like(p)
+        # unit-cell volume factor: form factors quoted per 2-atom cell
+        vol_per_atom = data["a"] ** 3 / 8
+        for shell, V_ry in data["form_factors"].items():
+            hit = xp.abs(psq_unit - shell) < 1e-6
+            out = xp.where(hit, V_ry / 2 * vol_per_atom, out)  # Ry -> Ha
+        return out
+
+
 # ---------------------------------------------------------------------------
 # Gaussian guess-density decay lengths (ABINIT m_atomdata coefficient table,
 # same data as DFTK density_methods.jl:286-323)

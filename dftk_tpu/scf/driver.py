@@ -62,6 +62,25 @@ def random_orbitals(basis, n_bands, seed=42):
     return ortho_qr(X)
 
 
+class ScfDefaultCallback:
+    """Iteration table printer (reference scf_callbacks.jl:30-136)."""
+
+    def __init__(self, show_time=True):
+        self.t0 = None
+        self.show_time = show_time
+
+    def __call__(self, info):
+        import time as _t
+        if self.t0 is None:
+            self.t0 = _t.time()
+            print(f"{'n':>3s}  {'energy':>16s}  {'log10(drho)':>11s}"
+                  f"  {'eig_it':>6s}  {'t/s':>6s}")
+        drho = info.get("drho", float("nan"))
+        print(f"{info['n_iter']:3d}  {info['E']:16.10f}  "
+              f"{np.log10(max(drho, 1e-300)):11.2f}  "
+              f"{info.get('eig_iters', 0):6d}  {_t.time()-self.t0:6.1f}")
+
+
 def default_mixing(model):
     if model.temperature > 0:
         return KerkerMixing()
