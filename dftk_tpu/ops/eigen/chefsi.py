@@ -1,0 +1,98 @@
+"""Chebyshev-filtered subspace iteration (CheFSI) for large systems.
+
+For big band counts the per-iteration Rayleigh-Ritz of LOBPCG (a dense
+(3 nb)^2 eigensolve) dominates; CheFSI (Zhou-Saad-Tiago-Chelikowsky,
+PRE 74 066704 (2006)) replaces it with
+
+    X <- orthonormalize( p_m(H) X );  one Rayleigh-Ritz per SCF step
+
+where p_m is a degree-m Chebyshev polynomial that amplifies the occupied
+part of the spectrum and damps [lb, ub].  Per step: m H applies (pure
+FFT+GEMM - ideal TPU utilisation), one CholeskyQR2 and one nb x nb eigh.
+
+This is the production path for the Si256-class benchmarks; LOBPCG remains
+the high-accuracy solver for small/medium problems.
+"""
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .lobpcg import _inner, _rotate, ortho_qr
+
+
+class ChefsiResult(NamedTuple):
+    X: jnp.ndarray
+    eigenvalues: jnp.ndarray
+    residual_norms: jnp.ndarray
+    upper_bound: jnp.ndarray
+
+
+def estimate_upper_bound(apply_A, shape_like, mask, n_iter=12, key=None):
+    """Spectral upper bound by power iteration on a random band block."""
+    if key is None:
+        key = jax.random.PRNGKey(17)
+    nk, _, nG = shape_like.shape
+    v = jax.random.normal(key, (nk, 1, nG), dtype=shape_like.dtype)
+    v = v * mask[:, None, :]
+    v = v / jnp.linalg.norm(v, axis=-1, keepdims=True)
+
+    def body(_, v):
+        w = apply_A(v)
+        return w / jnp.maximum(jnp.linalg.norm(w, axis=-1, keepdims=True),
+                               1e-30)
+
+    v = jax.lax.fori_loop(0, n_iter, body, v)
+    w = apply_A(v)
+    lam = jnp.einsum("kng,kng->kn", v, w) \
+        / jnp.maximum(jnp.einsum("kng,kng->kn", v, v), 1e-30)
+    return 1.1 * jnp.max(lam)          # safety margin
+
+
+def chebyshev_filter(apply_A, X, degree, lb, ub):
+    """p_m(H) X with Chebyshev polynomials mapped so [lb, ub] is damped.
+
+    Scaled three-term recurrence (Zhou et al. Algorithm 4.3 style):
+    amplifies eigenvalues below lb, damps [lb, ub] to <= 1.
+    """
+    e = (ub - lb) / 2
+    c = (ub + lb) / 2
+    t0 = X
+    t1 = (apply_A(X) - c * X) * (1.0 / e)
+
+    def body(i, carry):
+        tm1, t = carry
+        tn = 2.0 / e * (apply_A(t) - c * t) - tm1
+        return (t, tn)
+
+    _, tm = jax.lax.fori_loop(0, degree - 1, body, (t0, t1))
+    return tm
+
+
+def chefsi_step(apply_A, X, mask, degree=8, lb=None, ub=None,
+                lb_margin=0.1):
+    """One filter + orthonormalise + Rayleigh-Ritz cycle.
+
+    lb: damping window lower edge (just above the wanted spectrum); if None
+    it is taken from the current Ritz values.  Returns ChefsiResult.
+    """
+    if ub is None:
+        ub = estimate_upper_bound(apply_A, X, mask)
+    if lb is None:
+        AX = apply_A(X)
+        ritz = jnp.einsum("kng,kng->kn", X, AX) \
+            / jnp.maximum(jnp.einsum("kng,kng->kn", X, X), 1e-30)
+        lb = jnp.max(ritz) + lb_margin
+
+    Y = chebyshev_filter(apply_A, X, degree, lb, ub) * mask[:, None, :]
+    Y = ortho_qr(Y)
+    AY = apply_A(Y)
+    Hred = _inner(Y, AY)
+    Hred = (Hred + Hred.conj().swapaxes(1, 2)) / 2
+    theta, C = jnp.linalg.eigh(Hred)
+    X_new = _rotate(C, Y)
+    AX_new = _rotate(C, AY)
+    R = AX_new - theta[:, :, None].astype(X_new.dtype) * X_new
+    res = jnp.linalg.norm(R, axis=-1)
+    return ChefsiResult(X=X_new, eigenvalues=theta.real,
+                        residual_norms=res, upper_bound=jnp.asarray(ub))

@@ -271,7 +271,8 @@ def self_consistent_field_split(basis, tol=2e-5, maxiter=60, n_bands=None,
                                 diagtol_max=5e-3, diagtol_min=3e-5,
                                 use_kerker=None, symmetrize=True,
                                 dtype=jnp.float32, seed=42, callback=None,
-                                is_converged="energy"):
+                                is_converged="energy",
+                                eigensolver="lobpcg", chebyshev_degree=10):
     """SCF in the realified split engine (f32, complex-free device code).
 
     Returns a dict (energies, eigenvalues (deduplicated pairs), rho, U, ...).
@@ -317,8 +318,12 @@ def self_consistent_field_split(basis, tol=2e-5, maxiter=60, n_bands=None,
         V, _ = total_potential_split(terms, sd, rho_in, volume)
         ham = make_split_ham(sd, V)
         A = lambda u: apply_H_split(ham, u, fft_size, volume)
-        res = lobpcg(A, U_in, kin2, mask2, tol=diagtol,
-                     maxiter=eigensolver_maxiter, n_conv=2 * n_bands)
+        if eigensolver == "chefsi":
+            from .eigen.chefsi import chefsi_step
+            res = chefsi_step(A, U_in, mask2, degree=chebyshev_degree)
+        else:
+            res = lobpcg(A, U_in, kin2, mask2, tol=diagtol,
+                         maxiter=eigensolver_maxiter, n_conv=2 * n_bands)
         occ, epsF = compute_occupation(res.eigenvalues, sd.kweights,
                                        model.n_electrons, filled_r,
                                        temperature, smearing)
