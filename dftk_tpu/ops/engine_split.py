@@ -64,19 +64,37 @@ def gather_cube_split(cube, Gidx, mask):
     return out * mask[:, None, :, None]
 
 
-def apply_H_split(ham: Ham, U, fft_size, volume):
-    """Realified H apply: U [nk, nbr, 2nG] -> [nk, nbr, 2nG]."""
+def apply_H_split(ham: Ham, U, fft_size, volume, band_chunk=None):
+    """Realified H apply: U [nk, nbr, 2nG] -> [nk, nbr, 2nG].
+
+    band_chunk: process the FFT-heavy local part in chunks of this many
+    real band-vectors (bounds the cube-space working set on HBM).
+    """
     nG = ham.kin.shape[1]
     xy = jnp.stack([U[..., :nG], U[..., nG:]], axis=-1)   # [nk, nbr, nG, 2]
 
     kin_part = ham.kin[:, None, :, None] * xy
-
-    cube = scatter_cube_split(xy, ham.Gidx, ham.mask, fft_size)
-    psir = dft3(cube, sign=+1)                             # unnormalised BFFT
     Vk = ham.V[ham.kspin]                                  # [nk, n1,n2,n3]
-    vpsir = Vk[:, None, :, :, :, None] * psir
-    vc = dft3(vpsir, sign=-1) / float(np.prod(fft_size))
-    loc_part = gather_cube_split(vc, ham.Gidx, ham.mask)
+
+    def local_block(xy_blk):
+        cube = scatter_cube_split(xy_blk, ham.Gidx, ham.mask, fft_size)
+        psir = dft3(cube, sign=+1)                         # unnormalised BFFT
+        vpsir = Vk[:, None, :, :, :, None] * psir
+        vc = dft3(vpsir, sign=-1) / float(np.prod(fft_size))
+        return gather_cube_split(vc, ham.Gidx, ham.mask)
+
+    nb = xy.shape[1]
+    if band_chunk is None or band_chunk >= nb:
+        loc_part = local_block(xy)
+    else:
+        nblk = -(-nb // band_chunk)
+        pad = nblk * band_chunk - nb
+        xy_p = jnp.pad(xy, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        blocks = jnp.moveaxis(
+            xy_p.reshape(xy.shape[0], nblk, band_chunk, nG, 2), 1, 0)
+        res = jax.lax.map(local_block, blocks)
+        loc_part = jnp.moveaxis(res, 0, 1).reshape(
+            xy.shape[0], nblk * band_chunk, nG, 2)[:, :nb]
 
     out = kin_part + loc_part
     if ham.P.shape[-2] > 0:
@@ -150,15 +168,31 @@ def make_split_ham(sd: SplitTermsData, V):
 
 
 def compute_density_split(sd: SplitTermsData, U, occupation, fft_size, volume,
-                          n_spin):
+                          n_spin, band_chunk=None):
     """rho from realified vectors; occupation is per REAL vector (= f/2)."""
     nG = sd.kin.shape[1]
     xy = jnp.stack([U[..., :nG], U[..., nG:]], axis=-1)
-    cube = scatter_cube_split(xy, sd.Gidx, sd.mask, fft_size)
-    psir = dft3(cube, sign=+1) / math.sqrt(volume)       # [nk,nbr,grid,2]
-    dens = abs2(psir)
     w = sd.kweights[:, None] * occupation
-    dens_k = jnp.einsum("kn,knxyz->kxyz", w, dens)
+
+    def dens_block(args):
+        xy_blk, w_blk = args
+        cube = scatter_cube_split(xy_blk, sd.Gidx, sd.mask, fft_size)
+        psir = dft3(cube, sign=+1) / math.sqrt(volume)
+        return jnp.einsum("kn,knxyz->kxyz", w_blk, abs2(psir))
+
+    nb = xy.shape[1]
+    if band_chunk is None or band_chunk >= nb:
+        dens_k = dens_block((xy, w))
+    else:
+        nblk = -(-nb // band_chunk)
+        pad = nblk * band_chunk - nb
+        xy_p = jnp.pad(xy, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        w_p = jnp.pad(w, ((0, 0), (0, pad)))
+        blocks = jnp.moveaxis(
+            xy_p.reshape(xy.shape[0], nblk, band_chunk, nG, 2), 1, 0)
+        wblocks = jnp.moveaxis(
+            w_p.reshape(w.shape[0], nblk, band_chunk), 1, 0)
+        dens_k = jnp.sum(jax.lax.map(dens_block, (blocks, wblocks)), axis=0)
     if n_spin == 1:
         return jnp.sum(dens_k, axis=0)[None]
     sel = jax.nn.one_hot(sd.kspin, n_spin, dtype=dens_k.dtype)
@@ -272,7 +306,8 @@ def self_consistent_field_split(basis, tol=2e-5, maxiter=60, n_bands=None,
                                 use_kerker=None, symmetrize=True,
                                 dtype=jnp.float32, seed=42, callback=None,
                                 is_converged="energy",
-                                eigensolver="lobpcg", chebyshev_degree=10):
+                                eigensolver="lobpcg", chebyshev_degree=10,
+                                band_chunk=None):
     """SCF in the realified split engine (f32, complex-free device code).
 
     Returns a dict (energies, eigenvalues (deduplicated pairs), rho, U, ...).
@@ -317,7 +352,8 @@ def self_consistent_field_split(basis, tol=2e-5, maxiter=60, n_bands=None,
     def scf_step(rho_in, U_in, diagtol):
         V, _ = total_potential_split(terms, sd, rho_in, volume)
         ham = make_split_ham(sd, V)
-        A = lambda u: apply_H_split(ham, u, fft_size, volume)
+        A = lambda u: apply_H_split(ham, u, fft_size, volume,
+                                    band_chunk=band_chunk)
         if eigensolver == "chefsi":
             from .eigen.chefsi import chefsi_step
             res = chefsi_step(A, U_in, mask2, degree=chebyshev_degree)
@@ -328,7 +364,7 @@ def self_consistent_field_split(basis, tol=2e-5, maxiter=60, n_bands=None,
                                        model.n_electrons, filled_r,
                                        temperature, smearing)
         rho_out = compute_density_split(sd, res.X, occ, fft_size, volume,
-                                        nspin)
+                                        nspin, band_chunk=band_chunk)
         if symmetrizer is not None:
             rho_out = symmetrizer(rho_out)
         V_out, energies = total_potential_split(terms, sd, rho_out, volume)

@@ -62,6 +62,49 @@ def random_orbitals(basis, n_bands, seed=42):
     return ortho_qr(X)
 
 
+class ScfConvergenceEnergy:
+    """Converged when |E_n - E_{n-1}| < tol (scf_callbacks.jl:138-166)."""
+    def __init__(self, tol):
+        self.tol = tol
+        self._prev = None
+
+    def __call__(self, info):
+        E = info["E"]
+        done = self._prev is not None and abs(E - self._prev) < self.tol
+        self._prev = E
+        return done
+
+
+class ScfConvergenceDensity:
+    """Converged when ||rho_out - rho_in|| sqrt(dvol) < tol."""
+    def __init__(self, tol):
+        self.tol = tol
+
+    def __call__(self, info):
+        return info["drho"] < self.tol
+
+
+class ScfConvergenceForce:
+    """Converged when the force change between iterations is below tol.
+
+    Note: evaluates forces each iteration (expensive); reference
+    scf_callbacks.jl:158-166.
+    """
+    def __init__(self, tol):
+        self.tol = tol
+        self._prev = None
+
+    def __call__(self, info):
+        scfres_like = info.get("partial_scfres")
+        if scfres_like is None:
+            return False
+        from ..postprocess.forces import compute_forces
+        F = compute_forces(scfres_like)
+        done = self._prev is not None and             float(np.abs(F - self._prev).max()) < self.tol
+        self._prev = F
+        return done
+
+
 class ScfDefaultCallback:
     """Iteration table printer (reference scf_callbacks.jl:30-136)."""
 
@@ -103,9 +146,10 @@ def self_consistent_field(
         diagtol_max: float = 5e-3,
         diagtol_min: float = None,
         diagtol_ratio: float = 0.2,
-        is_converged: str = "density",       # "density" | "energy"
+        is_converged="density",   # "density" | "energy" | callable(info)->bool
         band_chunk: Optional[int] = None,
         callback: Optional[Callable] = None,
+        maxtime: Optional[float] = None,      # seconds; soft SCF timeout
         seed: int = 42,
 ) -> SCFResult:
     t0 = time.time()
@@ -295,11 +339,16 @@ def self_consistent_field(
             callback(dict(n_iter=it + 1, E=E_total, drho=drho, epsF=float(epsF),
                           eig_iters=int(eig_iters)))
 
-        if is_converged == "density":
+        if callable(is_converged):
+            converged = bool(is_converged(dict(E=E_total, drho=drho,
+                                               n_iter=it + 1)))
+        elif is_converged == "density":
             converged = drho < tol
         else:
             converged = E_prev is not None and abs(E_total - E_prev) < tol
         E_prev = E_total
+        if maxtime is not None and time.time() - t0 > maxtime:
+            break
 
         # adaptive band growth (AdaptiveBands): if the top computed band is
         # still occupied, enlarge the block (static shapes per jit; growth
