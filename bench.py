@@ -24,9 +24,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np  # noqa: E402
 
-# Complex-f64 apply throughput of the same workload on this container's CPU
-# (measured via tools/bench_cpu_baseline.py; update when the workload changes).
-BASELINE_CPU_APPLIES_PER_S = 331.9
+# Complex-f64 apply throughput of the same workload (Si54, Ecut 10, 128
+# bands) on this container's CPU, measured via tools/bench_cpu_baseline.py.
+# Update when the workload changes.
+BASELINE_CPU_APPLIES_PER_S = 63.8
 
 
 def build_problem(n_rep=2, Ecut=10.0):
@@ -61,9 +62,9 @@ def main():
     from dftk_tpu.ops.density import guess_density
     from dftk_tpu.ops.eigen.lobpcg import ortho_qr
 
-    n_rep = int(os.environ.get("DFTK_BENCH_NREP", "2"))
+    n_rep = int(os.environ.get("DFTK_BENCH_NREP", "3"))
     Ecut = float(os.environ.get("DFTK_BENCH_ECUT", "10"))
-    nb = int(os.environ.get("DFTK_BENCH_NBANDS", "64"))
+    nb = int(os.environ.get("DFTK_BENCH_NBANDS", "128"))
 
     basis = build_problem(n_rep=n_rep, Ecut=Ecut)
     model = basis.model

@@ -349,33 +349,39 @@ def self_consistent_field_split(basis, tol=2e-5, maxiter=60, n_bands=None,
     temperature = model.temperature
     smearing = model.smearing
 
-    def scf_step(rho_in, U_in, diagtol):
-        V, _ = total_potential_split(terms, sd, rho_in, volume)
-        ham = make_split_ham(sd, V)
+    # NOTE: the large device arrays (sd, the mask/kinetic vectors) are
+    # passed as ARGUMENTS, not closures - closed-over arrays are baked into
+    # the program as constants, which blows up the serialized HLO (remote
+    # compile services reject it) and bloats the executable.
+    def scf_step(sd_, kin2_, mask2_, rho_in, U_in, diagtol):
+        V, _ = total_potential_split(terms, sd_, rho_in, volume)
+        ham = make_split_ham(sd_, V)
         A = lambda u: apply_H_split(ham, u, fft_size, volume,
                                     band_chunk=band_chunk)
         if eigensolver == "chefsi":
             from .eigen.chefsi import chefsi_step
-            res = chefsi_step(A, U_in, mask2, degree=chebyshev_degree)
+            res = chefsi_step(A, U_in, mask2_, degree=chebyshev_degree)
         else:
-            res = lobpcg(A, U_in, kin2, mask2, tol=diagtol,
+            res = lobpcg(A, U_in, kin2_, mask2_, tol=diagtol,
                          maxiter=eigensolver_maxiter, n_conv=2 * n_bands)
-        occ, epsF = compute_occupation(res.eigenvalues, sd.kweights,
+        occ, epsF = compute_occupation(res.eigenvalues, sd_.kweights,
                                        model.n_electrons, filled_r,
                                        temperature, smearing)
-        rho_out = compute_density_split(sd, res.X, occ, fft_size, volume,
+        rho_out = compute_density_split(sd_, res.X, occ, fft_size, volume,
                                         nspin, band_chunk=band_chunk)
         if symmetrizer is not None:
             rho_out = symmetrizer(rho_out)
-        V_out, energies = total_potential_split(terms, sd, rho_out, volume)
-        energies.update(psi_energies_split(sd, res.X, occ))
+        V_out, energies = total_potential_split(terms, sd_, rho_out, volume)
+        energies.update(psi_energies_split(sd_, res.X, occ))
         if terms.has_entropy:
             energies["Entropy"] = entropy_energy(
-                res.eigenvalues, sd.kweights, epsF, temperature, smearing,
+                res.eigenvalues, sd_.kweights, epsF, temperature, smearing,
                 filled_r)
         return rho_out, res.X, res.eigenvalues, occ, epsF, energies
 
-    scf_step = jax.jit(scf_step)
+    _scf_step = jax.jit(scf_step)
+    scf_step = lambda rho_in, U_in, diagtol: _scf_step(
+        sd, kin2, mask2, rho_in, U_in, diagtol)
     anderson = AndersonAcceleration(m=anderson_depth)
     if use_kerker is None:
         use_kerker = model.temperature > 0
