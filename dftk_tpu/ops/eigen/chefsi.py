@@ -70,29 +70,49 @@ def chebyshev_filter(apply_A, X, degree, lb, ub):
 
 
 def chefsi_step(apply_A, X, mask, degree=8, lb=None, ub=None,
-                lb_margin=0.1):
-    """One filter + orthonormalise + Rayleigh-Ritz cycle.
+                n_conv=None, lb_margin=0.05, cycles=1):
+    """Filter + orthonormalise + Rayleigh-Ritz cycles.
 
-    lb: damping window lower edge (just above the wanted spectrum); if None
-    it is taken from the current Ritz values.  Returns ChefsiResult.
+    The damping window is [lb, ub]: everything ABOVE the wanted spectrum.
+    lb defaults to the Ritz value at index n_conv (the first unwanted
+    state) - the standard CheFSI choice (Zhou et al. 2006); amplifying the
+    whole current subspace (lb = max Ritz) would not converge.
     """
     if ub is None:
         ub = estimate_upper_bound(apply_A, X, mask)
-    if lb is None:
-        AX = apply_A(X)
-        ritz = jnp.einsum("kng,kng->kn", X, AX) \
-            / jnp.maximum(jnp.einsum("kng,kng->kn", X, X), 1e-30)
-        lb = jnp.max(ritz) + lb_margin
 
-    Y = chebyshev_filter(apply_A, X, degree, lb, ub) * mask[:, None, :]
-    Y = ortho_qr(Y)
-    AY = apply_A(Y)
-    Hred = _inner(Y, AY)
-    Hred = (Hred + Hred.conj().swapaxes(1, 2)) / 2
-    theta, C = jnp.linalg.eigh(Hred)
-    X_new = _rotate(C, Y)
-    AX_new = _rotate(C, AY)
-    R = AX_new - theta[:, :, None].astype(X_new.dtype) * X_new
+    nb = X.shape[1]
+    if n_conv is None:
+        n_conv = max(1, (3 * nb) // 4)
+
+    theta = None
+    for _ in range(cycles):
+        if lb is None or theta is not None:
+            if theta is None:
+                AX = apply_A(X)
+                ritz = jnp.einsum("kng,kng->kn", X.conj(), AX).real \
+                    / jnp.maximum(
+                        jnp.einsum("kng,kng->kn", X.conj(), X).real, 1e-30)
+                ritz = jnp.sort(ritz, axis=1)
+            else:
+                ritz = theta
+            idx = min(n_conv, nb - 1)
+            lb_cur = jnp.max(ritz[:, idx]) + lb_margin
+        else:
+            lb_cur = lb
+        lb_cur = jnp.minimum(lb_cur, ub - 0.2 * jnp.abs(ub))
+
+        Y = chebyshev_filter(apply_A, X, degree, lb_cur, ub) * mask[:, None, :]
+        Y = ortho_qr(Y)
+        AY = apply_A(Y)
+        Hred = _inner(Y, AY)
+        Hred = (Hred + Hred.conj().swapaxes(1, 2)) / 2
+        theta, C = jnp.linalg.eigh(Hred)
+        X = _rotate(C, Y)
+        AX_new = _rotate(C, AY)
+        theta = theta.real
+
+    R = AX_new - theta[:, :, None].astype(X.dtype) * X
     res = jnp.linalg.norm(R, axis=-1)
-    return ChefsiResult(X=X_new, eigenvalues=theta.real,
+    return ChefsiResult(X=X, eigenvalues=theta,
                         residual_norms=res, upper_bound=jnp.asarray(ub))

@@ -307,6 +307,7 @@ def self_consistent_field_split(basis, tol=2e-5, maxiter=60, n_bands=None,
                                 dtype=jnp.float32, seed=42, callback=None,
                                 is_converged="energy",
                                 eigensolver="lobpcg", chebyshev_degree=10,
+                                chefsi_cycles=1, mixing_eps_r=None,
                                 band_chunk=None):
     """SCF in the realified split engine (f32, complex-free device code).
 
@@ -360,7 +361,8 @@ def self_consistent_field_split(basis, tol=2e-5, maxiter=60, n_bands=None,
                                     band_chunk=band_chunk)
         if eigensolver == "chefsi":
             from .eigen.chefsi import chefsi_step
-            res = chefsi_step(A, U_in, mask2_, degree=chebyshev_degree)
+            res = chefsi_step(A, U_in, mask2_, degree=chebyshev_degree,
+                              n_conv=2 * n_bands, cycles=chefsi_cycles)
         else:
             res = lobpcg(A, U_in, kin2_, mask2_, tol=diagtol,
                          maxiter=eigensolver_maxiter, n_conv=2 * n_bands)
@@ -385,7 +387,24 @@ def self_consistent_field_split(basis, tol=2e-5, maxiter=60, n_bands=None,
     anderson = AndersonAcceleration(m=anderson_depth)
     if use_kerker is None:
         use_kerker = model.temperature > 0
-    mixer = jax.jit(partial(kerker_mix_split, Gsq=Gsq)) if use_kerker else None
+    if mixing_eps_r is not None:
+        # dielectric mixing: 1/eps(G) screening with model eps_r (silicon ~12)
+        kTF = 0.8
+        factor = (kTF ** 2 + Gsq) / (mixing_eps_r * kTF ** 2 + Gsq)
+
+        def dielectric_mix(delta_F):
+            total = jnp.sum(delta_F, axis=0)
+            mixed = idft3_real_output(factor[..., None]
+                                      * dft3_real_input(total, sign=-1))
+            if delta_F.shape[0] == 1:
+                return mixed[None]
+            spin = delta_F[0] - delta_F[1]
+            return jnp.stack([(mixed + spin) / 2, (mixed - spin) / 2])
+        mixer = jax.jit(dielectric_mix)
+    elif use_kerker:
+        mixer = jax.jit(partial(kerker_mix_split, Gsq=Gsq))
+    else:
+        mixer = None
 
     E_prev, converged, diagtol = None, False, diagtol_max
     history = []

@@ -37,8 +37,9 @@ print(f"basis: fft={basis.fft_size} nG={basis.nG_max} "
 
 nb = natoms * 2 + max(8, natoms // 4)      # n_occ + extra
 res = self_consistent_field_split(
-    basis, tol=5e-7 * natoms, maxiter=30, n_bands=natoms * 2,
-    n_extra_bands=nb - natoms * 2, eigensolver="chefsi", chebyshev_degree=8,
+    basis, tol=5e-7 * natoms, maxiter=40, n_bands=natoms * 2,
+    n_extra_bands=nb - natoms * 2, eigensolver="chefsi", chebyshev_degree=10,
+    chefsi_cycles=2, mixing_eps_r=12.0, damping=0.6,
     band_chunk=256, is_converged="energy",
     callback=lambda i: print(f"  it={i['n_iter']} E={i['E']:.6f} "
                              f"drho={i['drho']:.2e} [{time.time()-t0:.0f}s]",
