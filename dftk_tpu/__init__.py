@@ -28,7 +28,9 @@ from .ops.terms import Hubbard
 from .ops.hubbard import HubbardManifold
 from .ops.coulomb import (Coulomb, LongRangeCoulomb, ShortRangeCoulomb,
                           SphericallyTruncatedCoulomb)
-from .ops.density import compute_density, guess_density, total_density
+from .ops.density import (compute_density, guess_density, random_density,
+                          total_density)
+from .models.psp_lincomb import PspLinComb, virtual_crystal_approximation
 from .scf.driver import self_consistent_field, SCFResult
 from .scf.direct import direct_minimization
 from .scf.mixing import DielectricMixing, KerkerMixing, SimpleMixing
@@ -41,7 +43,8 @@ from .postprocess.dos import compute_dos, compute_ldos
 from .postprocess.phonon import phonon_modes_finite_diff
 from .response.hessian import compute_polarizability, solve_dyson
 from .response.chi0 import apply_chi0, make_chi0_context
-from .io.scfres import load_scfres, save_scfres
+from .io.scfres import load_scfres, save_scfres, todict
+from .io.vtk import save_vts
 from .transfer import transfer_blochwave, transfer_density
 from .utils.timer import memory_usage, timer, versioninfo
 

@@ -171,6 +171,11 @@ class PlaneWaveBasis:
         self.Gpk_cart_np = Gpk_cart
         self.kin_np = kin
 
+    def __repr__(self):
+        return (f"PlaneWaveBasis(Ecut={self.Ecut}, fft_size={self.fft_size}, "
+                f"n_kpoints={self.n_kpoints} (irr {self.n_irreducible_kpoints}), "
+                f"nG_max={self.nG_max}, n_symmetries={len(self.symmetries)})")
+
     # -------------------------------------------------------------------------
     # FFT helpers bound to this basis (jnp, batched over leading axes)
     # -------------------------------------------------------------------------

@@ -75,6 +75,10 @@ def save_scfres(filename, scfres):
         with open(filename, "w") as f:
             json.dump(meta, f, indent=1)
         return
+    if str(filename).endswith(".vts"):
+        from .vtk import save_vts
+        save_vts(filename, scfres)
+        return
 
     psi = get("psi", get("U"))
     np.savez_compressed(
@@ -132,6 +136,34 @@ def _rebuild_basis(meta):
     kgrid = dftk.ExplicitKpoints(meta["kcoords"], meta["kweights"])
     return dftk.PlaneWaveBasis(model, Ecut=meta["Ecut"], kgrid=kgrid,
                                fft_size=tuple(meta["fft_size"]))
+
+
+def todict(obj):
+    """JSON-serialisable dict of a Model / PlaneWaveBasis / SCFResult
+    (counterpart of the reference's todict! exporters, input_output.jl)."""
+    import dftk_tpu as dftk
+    if isinstance(obj, dftk.Model):
+        return _model_recipe(obj)
+    if isinstance(obj, dftk.PlaneWaveBasis):
+        return {
+            "model": _model_recipe(obj.model),
+            "Ecut": obj.Ecut, "fft_size": list(obj.fft_size),
+            "kcoords": np.asarray(obj.kcoords).tolist(),
+            "kweights": np.asarray(obj.kweights_irr).tolist(),
+            "nG_max": int(obj.nG_max),
+            "n_symmetries": len(obj.symmetries),
+        }
+    # scfres-like
+    get = (lambda k, d=None: getattr(obj, k, d))         if not isinstance(obj, dict) else (lambda k, d=None: obj.get(k, d))
+    return {
+        "energies": get("energies"),
+        "epsF": float(get("epsF", 0.0)),
+        "converged": bool(get("converged", False)),
+        "n_iter": int(get("n_iter", 0)),
+        "eigenvalues": np.asarray(get("eigenvalues")).tolist(),
+        "occupation": np.asarray(get("occupation")).tolist(),
+        "basis": todict(get("basis")) if get("basis") is not None else None,
+    }
 
 
 class ScfSaveCheckpoints:

@@ -103,6 +103,16 @@ class Model:
     def recip_vector_red_to_cart(self, G):
         return self.recip_lattice @ G
 
+    def __repr__(self):
+        syms = [getattr(a, "symbol", type(a).__name__) for a in self.atoms]
+        xc = [t for t in self.term_types
+              if type(t).__name__ == "Xc"]
+        fun = list(xc[0].functionals) if xc else []
+        return (f"Model({'+'.join(syms) or 'empty'}, n_electrons="
+                f"{self.n_electrons}, spin={self.spin_polarization}, "
+                f"T={self.temperature}, functionals={fun}, "
+                f"n_symmetries={len(self.symmetries)})")
+
     def default_n_bands(self):
         """Default number of bands: enough to hold all electrons + buffer."""
         n_occ = int(math.ceil(self.n_electrons / self.filled_occupation))

@@ -195,6 +195,22 @@ def _gaussian_superposition(basis, coefficients):
     return rho
 
 
+def random_density(basis, seed=0, n_electrons=None):
+    """Random positive density normalised to n_electrons.
+
+    The reference's RandomDensity guess method (density_methods.jl) —
+    mostly useful to test SCF robustness against bad starting points.
+    """
+    model = basis.model
+    if n_electrons is None:
+        n_electrons = model.n_electrons
+    nspin = model.n_spin_components
+    rng = np.random.default_rng(seed)
+    rho = rng.random((nspin,) + tuple(basis.fft_size))
+    rho *= n_electrons / (rho.sum() * basis.dvol)
+    return jnp.asarray(rho)
+
+
 def total_density(rho):
     return jnp.sum(rho, axis=0)
 
