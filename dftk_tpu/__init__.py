@@ -15,7 +15,8 @@ from .models.standard import (LDA, PBE, PBE0, PBEsol, model_DFT,
                               model_atomic, model_HF)
 from .models.elements import (ElementCoulomb, ElementGaussian, ElementPsp,
                               atomic_symbol)
-from .models.psp_hgh import PspHgh, load_psp_hgh, parse_hgh
+from .models.psp_hgh import (PspHgh, list_psp, load_psp, load_psp_hgh,
+                             parse_hgh)
 from .models import smearing as Smearing
 from .basis import PlaneWaveBasis
 from .bzmesh import ExplicitKpoints, MonkhorstPack, kgrid_from_maximal_spacing

@@ -81,7 +81,13 @@ class ElementPsp(Element):
             symbol = symbol_or_z
         Z = ATOMIC_NUMBERS[symbol]
         if psp is None:
-            psp = load_psp_hgh(symbol)
+            if family.lower() == "lda":
+                psp = load_psp_hgh(symbol)
+            else:
+                from .psp_data import DEFAULT_Q_SEMICORE
+                psp = load_psp_hgh(
+                    f"{family.lower()}/{symbol.lower()}"
+                    f"-q{DEFAULT_Q_SEMICORE[symbol]}")
         elif isinstance(psp, str):
             if psp.endswith(".upf") or psp.endswith(".UPF"):
                 from .psp_upf import load_psp_upf

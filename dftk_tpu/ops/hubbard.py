@@ -113,3 +113,71 @@ def apply_hubbard(Phi, Vmat, kspin, psi):
     Vk = Vmat[kspin]                                       # [nk, n_orb, n_orb]
     coeff = jnp.einsum("kmp,knp->knm", Vk, proj)
     return jnp.einsum("kgm,knm->kng", Phi, coeff)
+
+
+# ---------------------------------------------------------------------------
+# Symmetrization of the occupation matrix (reference terms/hubbard.jl:
+# symmetrize_nhubbard; needed whenever the BZ is sampled on the irreducible
+# wedge only, so that n_{mm'} regains the full site symmetry)
+# ---------------------------------------------------------------------------
+
+def real_sph_rotation(l, Wcart):
+    """D[m', m] with  Y_m(W^-1 r) = sum_m' D[m', m] Y_m'(r).
+
+    Built by sampling: exact for orthogonal Wcart since the real solid
+    harmonics span an invariant subspace.
+    """
+    if l == 0:
+        return np.ones((1, 1))
+    rng = np.random.default_rng(7)
+    pts = rng.normal(size=(8 * (2 * l + 1), 3))
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    Y = solid_harmonics_real(pts, l)[:, l * l:(l + 1) * (l + 1)]
+    Yr = solid_harmonics_real(pts @ np.linalg.inv(Wcart).T,
+                              l)[:, l * l:(l + 1) * (l + 1)]
+    D, *_ = np.linalg.lstsq(Y, Yr, rcond=None)
+    return D
+
+
+def build_occupation_symmetrization(basis, manifolds, slices):
+    """Per-manifold plan [(src_slice, D), ...] over all basis symmetries."""
+    model = basis.model
+    L = model.lattice
+    Linv = np.linalg.inv(L)
+    plan = [[] for _ in manifolds]
+    for op in basis.symmetries:
+        W, w = op.Wmat, op.wvec
+        Wcart = L @ W @ Linv
+        for fi, (mf, sl) in enumerate(zip(manifolds, slices)):
+            # preimage atom j:  W pos_j + w == pos_I (mod 1)
+            target = np.linalg.solve(W, np.asarray(
+                model.positions[mf.atom_index], dtype=float) - w)
+            src = None
+            for mf2, sl2 in zip(manifolds, slices):
+                if (mf2.l, mf2.i, mf2.U) != (mf.l, mf.i, mf.U):
+                    continue
+                d = np.asarray(model.positions[mf2.atom_index]) - target
+                d -= np.round(d)
+                if np.abs(d).max() < 1e-4:
+                    src = sl2
+                    break
+            if src is None:
+                raise ValueError(
+                    "Hubbard manifold set is not closed under the crystal "
+                    "symmetries; add the equivalent atoms or disable "
+                    "symmetries")
+            plan[fi].append((src, real_sph_rotation(mf.l, Wcart)))
+    return plan
+
+
+def symmetrize_occupation_matrix(n, slices, plan):
+    """Average the per-manifold blocks of n over the symmetry plan."""
+    out = n
+    for (a, b), ops in zip(slices, plan):
+        acc = 0.0
+        for (a2, b2), D in ops:
+            Dj = jnp.asarray(D, dtype=n.dtype)
+            acc = acc + jnp.einsum("pm,spq,qr->smr", Dj.conj(),
+                                   n[:, a2:b2, a2:b2], Dj)
+        out = out.at[:, a:b, a:b].set(acc / len(ops))
+    return out

@@ -151,6 +151,7 @@ def self_consistent_field(
         callback: Optional[Callable] = None,
         maxtime: Optional[float] = None,      # seconds; soft SCF timeout
         seed: int = 42,
+        use_ace: bool = True,    # compress Fock exchange (Lin Lin ACE)
 ) -> SCFResult:
     t0 = time.time()
     model = basis.model
@@ -185,10 +186,14 @@ def self_consistent_field(
     has_hubbard = terms.hubbard_manifolds is not None
     if has_hubbard:
         from ..ops.hubbard import (apply_hubbard, build_hubbard_projectors,
+                                   build_occupation_symmetrization,
                                    hubbard_energy, hubbard_potential_matrix,
-                                   occupation_matrix)
+                                   occupation_matrix,
+                                   symmetrize_occupation_matrix)
         hub_Phi, hub_slices = build_hubbard_projectors(
             basis, terms.hubbard_manifolds)
+        hub_plan = build_occupation_symmetrization(
+            basis, terms.hubbard_manifolds, hub_slices)
     if has_exx:
         assert basis.n_kpoints == nspin, \
             "ExactExchange currently requires Gamma-point-only calculations " \
@@ -218,20 +223,32 @@ def self_consistent_field(
         else:
             V, _ = hamops.total_potential(terms, rho_in, Gcart, volume)
             ham = hamops.build_ham(bd, td, V, **exx_kw)
+        ace_xi = None
+        if has_exx and use_ace:
+            # compress the Fock operator once per step; the eigensolver then
+            # applies two GEMMs instead of one Poisson solve per orbital
+            from ..ops.exx_ace import apply_ace, build_ace
+            ace_xi = build_ace(ham, fft_size, volume)
+            ham = ham._replace(exx_kernel=None, exx_psi=None, exx_occ=None)
+        Vhub = None
         if has_hubbard:
             occ_in = exx_occ_in if exx_occ_in is not None else \
                 jnp.zeros(psi_in.shape[:2])
             n_hub = occupation_matrix(hub_Phi, psi_in, occ_in, bd.kweights,
                                       bd.kspin, nspin)
+            n_hub = symmetrize_occupation_matrix(n_hub, hub_slices, hub_plan)
             Vhub = hubbard_potential_matrix(n_hub, terms.hubbard_manifolds,
                                             hub_slices, filled)
-            applyH = lambda p: (hamops.apply_H(ham, p, fft_size, volume,
-                                               band_chunk=band_chunk)
-                                + apply_hubbard(hub_Phi, Vhub, bd.kspin, p)
-                                * bd.mask[:, None, :])
-        else:
-            applyH = lambda p: hamops.apply_H(ham, p, fft_size, volume,
-                                              band_chunk=band_chunk)
+
+        def applyH(p):
+            out = hamops.apply_H(ham, p, fft_size, volume,
+                                 band_chunk=band_chunk)
+            if Vhub is not None:
+                out = out + apply_hubbard(hub_Phi, Vhub, bd.kspin, p) \
+                    * bd.mask[:, None, :]
+            if ace_xi is not None:
+                out = out + apply_ace(ace_xi, p) * bd.mask[:, None, :]
+            return out
         res = lobpcg(applyH, psi_in, ham.kin, bd.mask, tol=diagtol,
                      maxiter=eigensolver_maxiter, n_conv=n_bands)
         occ, epsF = compute_occupation(res.eigenvalues, bd.kweights,
@@ -265,6 +282,7 @@ def self_consistent_field(
         if has_hubbard:
             n_out = occupation_matrix(hub_Phi, res.X, occ, bd.kweights,
                                       bd.kspin, nspin)
+            n_out = symmetrize_occupation_matrix(n_out, hub_slices, hub_plan)
             energies["Hubbard"] = hubbard_energy(
                 n_out, terms.hubbard_manifolds, hub_slices, filled)
         if terms.has_entropy:

@@ -53,3 +53,36 @@ def test_truncated_coulomb_kernels():
     trunc = SphericallyTruncatedCoulomb().fourier(Gsq, vol)
     assert np.isfinite(trunc).all()
     assert trunc[0] > 0   # finite DC
+
+
+def test_ace_matches_uncompressed():
+    """ACE-compressed SCF and bare-operator SCF agree; ACE is exact on span."""
+    import jax.numpy as jnp
+    from dftk_tpu.ops import hamiltonian as hamops
+    from dftk_tpu.ops.exx_ace import apply_ace, build_ace
+
+    lattice = np.eye(3) * 8
+    He = dftk.ElementPsp.from_symbol("He", psp="lda/he-q2")
+    m = model_HF(lattice, [He], [np.array([.5, .5, .5])], symmetries=False)
+    b = dftk.PlaneWaveBasis(m, Ecut=8.0, kgrid=(1, 1, 1))
+    r_ace = dftk.self_consistent_field(b, tol=1e-8, maxiter=60,
+                                       is_converged="energy", use_ace=True)
+    r_raw = dftk.self_consistent_field(b, tol=1e-8, maxiter=60,
+                                       is_converged="energy", use_ace=False)
+    assert r_ace.converged and r_raw.converged
+    assert abs(r_ace.total_energy - r_raw.total_energy) < 1e-6
+
+    # operator-level exactness on the generating span
+    psi = jnp.asarray(r_ace.psi)
+    occ = jnp.asarray(r_ace.occupation) / m.filled_occupation
+    V, _ = hamops.total_potential(b.terms, r_ace.rho,
+                                  jnp.asarray(b.G_cube_cart),
+                                  m.unit_cell_volume)
+    ham = hamops.build_ham(b.data, b.terms.data, V,
+                           exx_kernel=jnp.asarray(b.terms.exx_kernel_np),
+                           exx_psi=psi, exx_occ=occ)
+    Xi = build_ace(ham, b.fft_size, m.unit_cell_volume)
+    d = jnp.abs(apply_ace(Xi, psi)
+                - hamops._apply_exchange(ham, psi, b.fft_size,
+                                         m.unit_cell_volume)).max()
+    assert float(d) < 1e-10

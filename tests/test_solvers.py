@@ -58,3 +58,41 @@ def test_hubbard_term():
                                    is_converged="energy")
     assert r.converged
     assert 0 < r.energies["Hubbard"] < 0.2   # penalises partial p occupation
+
+
+def test_hubbard_occupation_symmetrization():
+    """IBZ occupation matrix + symmetrization == full-BZ occupation matrix."""
+    import os
+    UPF = "/root/reference/test/pseudos/gth/Si.pbe-hgh.upf"
+    if not os.path.exists(UPF):
+        pytest.skip("reference UPF not available")
+    from testcases import silicon
+    from dftk_tpu.ops.hubbard import (build_hubbard_projectors,
+                                      build_occupation_symmetrization,
+                                      occupation_matrix,
+                                      symmetrize_occupation_matrix)
+    Si = dftk.ElementPsp.from_symbol("Si", psp=UPF)
+    mfs = (dftk.HubbardManifold(atom_index=0, l=1, U=0.15),
+           dftk.HubbardManifold(atom_index=1, l=1, U=0.15))
+    m = dftk.model_DFT(silicon["lattice"], [Si, Si], silicon["positions"],
+                       functionals="PBE",
+                       extra_terms=[dftk.Hubbard(manifolds=mfs)])
+    b1 = dftk.PlaneWaveBasis(m, Ecut=5.0, kgrid=(2, 2, 2), fft_size=(15,) * 3)
+    b2 = dftk.PlaneWaveBasis(m, Ecut=5.0, kgrid=(2, 2, 2), fft_size=(15,) * 3,
+                             use_symmetries_for_kpoint_reduction=False)
+    assert b1.n_irreducible_kpoints < b2.n_kpoints
+    r1 = dftk.self_consistent_field(b1, tol=1e-9, maxiter=60)
+    r2 = dftk.self_consistent_field(b2, tol=1e-9, maxiter=60)
+    assert abs(r1.total_energy - r2.total_energy) < 1e-9
+    assert abs(r1.energies["Hubbard"] - r2.energies["Hubbard"]) < 1e-9
+
+    P1, sl1 = build_hubbard_projectors(b1, mfs)
+    plan = build_occupation_symmetrization(b1, mfs, sl1)
+    n1 = occupation_matrix(P1, r1.psi, r1.occupation, b1.data.kweights,
+                           b1.data.kspin, 1)
+    n1s = np.asarray(symmetrize_occupation_matrix(n1, sl1, plan))
+    P2, sl2 = build_hubbard_projectors(b2, mfs)
+    n2 = np.asarray(occupation_matrix(P2, r2.psi, r2.occupation,
+                                      b2.data.kweights, b2.data.kspin, 1))
+    for (a, bnd) in sl1:
+        assert np.abs(n1s[0, a:bnd, a:bnd] - n2[0, a:bnd, a:bnd]).max() < 1e-8
