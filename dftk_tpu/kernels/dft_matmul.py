@@ -31,29 +31,45 @@ def _dft_factors(n, sign, dtype_name):
     return (np.cos(phase).astype(dtype), np.sin(phase).astype(dtype))
 
 
-def _axis_transform(x, F, axis):
+def as_precision(precision):
+    """None or 'default'/'high'/'highest' -> lax.Precision (None passthrough).
+
+    'default' is the fast path: single-pass bf16 MXU matmuls with f32
+    accumulation; 'highest' is f32-equivalent (6-pass).  Used to run the
+    Chebyshev filter applies at reduced precision while keeping
+    Rayleigh-Ritz / densities exact.
+    """
+    if precision is None or not isinstance(precision, str):
+        return precision
+    return getattr(jax.lax.Precision, precision.upper())
+
+
+def _axis_transform(x, F, axis, precision=None):
     """Complex contraction of `axis` with F=(Fr, Fi); x [..., 2] split."""
     Fr, Fi = F
     xr = jnp.moveaxis(x[..., 0], axis, -1)
     xi = jnp.moveaxis(x[..., 1], axis, -1)
     # (Fr + i Fi)(xr + i xi): contract last axis with F^T
-    yr = xr @ Fr.T - xi @ Fi.T
-    yi = xr @ Fi.T + xi @ Fr.T
+    yr = jnp.matmul(xr, Fr.T, precision=precision) \
+        - jnp.matmul(xi, Fi.T, precision=precision)
+    yi = jnp.matmul(xr, Fi.T, precision=precision) \
+        + jnp.matmul(xi, Fr.T, precision=precision)
     return jnp.stack([jnp.moveaxis(yr, -1, axis),
                       jnp.moveaxis(yi, -1, axis)], axis=-1)
 
 
-def dft3(x, sign=-1):
+def dft3(x, sign=-1, precision=None):
     """3D DFT over the last three spatial axes of x [..., n1, n2, n3, 2].
 
     sign=-1: forward (like np.fft.fftn); sign=+1: unnormalised backward.
     """
+    precision = as_precision(precision)
     n1, n2, n3 = x.shape[-4:-1]
     dt = np.dtype(x.dtype).name
     # axis indices are relative to the real sub-arrays (split axis dropped)
-    x = _axis_transform(x, _as_jnp(_dft_factors(n3, sign, dt)), -1)
-    x = _axis_transform(x, _as_jnp(_dft_factors(n2, sign, dt)), -2)
-    x = _axis_transform(x, _as_jnp(_dft_factors(n1, sign, dt)), -3)
+    x = _axis_transform(x, _as_jnp(_dft_factors(n3, sign, dt)), -1, precision)
+    x = _axis_transform(x, _as_jnp(_dft_factors(n2, sign, dt)), -2, precision)
+    x = _axis_transform(x, _as_jnp(_dft_factors(n1, sign, dt)), -3, precision)
     return x
 
 

@@ -70,16 +70,23 @@ def chebyshev_filter(apply_A, X, degree, lb, ub):
 
 
 def chefsi_step(apply_A, X, mask, degree=8, lb=None, ub=None,
-                n_conv=None, lb_margin=0.05, cycles=1):
+                n_conv=None, lb_margin=0.05, cycles=1, apply_filter=None):
     """Filter + orthonormalise + Rayleigh-Ritz cycles.
 
     The damping window is [lb, ub]: everything ABOVE the wanted spectrum.
     lb defaults to the Ritz value at index n_conv (the first unwanted
     state) - the standard CheFSI choice (Zhou et al. 2006); amplifying the
     whole current subspace (lb = max Ritz) would not converge.
+
+    apply_filter: optional cheaper H apply used ONLY inside the Chebyshev
+    recurrence (e.g. reduced-precision matmuls).  The filter merely shapes
+    the subspace; Rayleigh-Ritz and residuals stay on apply_A, so the
+    returned eigenpairs keep full accuracy.
     """
+    if apply_filter is None:
+        apply_filter = apply_A
     if ub is None:
-        ub = estimate_upper_bound(apply_A, X, mask)
+        ub = estimate_upper_bound(apply_filter, X, mask)
 
     nb = X.shape[1]
     if n_conv is None:
@@ -102,7 +109,8 @@ def chefsi_step(apply_A, X, mask, degree=8, lb=None, ub=None,
             lb_cur = lb
         lb_cur = jnp.minimum(lb_cur, ub - 0.2 * jnp.abs(ub))
 
-        Y = chebyshev_filter(apply_A, X, degree, lb_cur, ub) * mask[:, None, :]
+        Y = chebyshev_filter(apply_filter, X, degree, lb_cur, ub) \
+            * mask[:, None, :]
         Y = ortho_qr(Y)
         AY = apply_A(Y)
         Hred = _inner(Y, AY)

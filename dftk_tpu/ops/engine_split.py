@@ -64,11 +64,14 @@ def gather_cube_split(cube, Gidx, mask):
     return out * mask[:, None, :, None]
 
 
-def apply_H_split(ham: Ham, U, fft_size, volume, band_chunk=None):
+def apply_H_split(ham: Ham, U, fft_size, volume, band_chunk=None,
+                  precision=None):
     """Realified H apply: U [nk, nbr, 2nG] -> [nk, nbr, 2nG].
 
     band_chunk: process the FFT-heavy local part in chunks of this many
     real band-vectors (bounds the cube-space working set on HBM).
+    precision: matmul precision for the DFT contractions and projector
+    GEMMs ('default' = fast single-pass bf16; None = session default).
     """
     nG = ham.kin.shape[1]
     xy = jnp.stack([U[..., :nG], U[..., nG:]], axis=-1)   # [nk, nbr, nG, 2]
@@ -78,9 +81,10 @@ def apply_H_split(ham: Ham, U, fft_size, volume, band_chunk=None):
 
     def local_block(xy_blk):
         cube = scatter_cube_split(xy_blk, ham.Gidx, ham.mask, fft_size)
-        psir = dft3(cube, sign=+1)                         # unnormalised BFFT
+        psir = dft3(cube, sign=+1, precision=precision)    # unnormalised BFFT
         vpsir = Vk[:, None, :, :, :, None] * psir
-        vc = dft3(vpsir, sign=-1) / float(np.prod(fft_size))
+        vc = dft3(vpsir, sign=-1, precision=precision) \
+            / float(np.prod(fft_size))
         return gather_cube_split(vc, ham.Gidx, ham.mask)
 
     nb = xy.shape[1]
@@ -98,34 +102,38 @@ def apply_H_split(ham: Ham, U, fft_size, volume, band_chunk=None):
 
     out = kin_part + loc_part
     if ham.P.shape[-2] > 0:
-        Pd = _pdag_psi(ham.P, xy)                          # P^dag psi
+        Pd = _pdag_psi(ham.P, xy, precision=precision)     # P^dag psi
         DPd = jnp.einsum("pq,knqc->knpc", ham.D, Pd)
-        nl = _p_coeff(ham.P, DPd)
+        nl = _p_coeff(ham.P, DPd, precision=precision)
         out = out + nl * ham.mask[:, None, :, None]
 
     out = out * ham.mask[:, None, :, None]
     return jnp.concatenate([out[..., 0], out[..., 1]], axis=-1)
 
 
-def _pdag_psi(P, xy):
+def _pdag_psi(P, xy, precision=None):
     """P^dag psi: [nk,nG,np,2] x [nk,nb,nG,2] -> [nk,nb,np,2] (conj P)."""
+    from ..kernels.dft_matmul import as_precision
+    prec = as_precision(precision)
     Pr, Pi = P[..., 0], P[..., 1]
     xr, xi = xy[..., 0], xy[..., 1]
-    rr = jnp.einsum("kgp,kng->knp", Pr, xr)
-    ii = jnp.einsum("kgp,kng->knp", Pi, xi)
-    ri = jnp.einsum("kgp,kng->knp", Pr, xi)
-    ir = jnp.einsum("kgp,kng->knp", Pi, xr)
+    rr = jnp.einsum("kgp,kng->knp", Pr, xr, precision=prec)
+    ii = jnp.einsum("kgp,kng->knp", Pi, xi, precision=prec)
+    ri = jnp.einsum("kgp,kng->knp", Pr, xi, precision=prec)
+    ir = jnp.einsum("kgp,kng->knp", Pi, xr, precision=prec)
     return jnp.stack([rr + ii, ri - ir], axis=-1)   # conj(P)^T psi
 
 
-def _p_coeff(P, c):
+def _p_coeff(P, c, precision=None):
     """P @ c: [nk,nG,np,2] x [nk,nb,np,2] -> [nk,nb,nG,2]."""
+    from ..kernels.dft_matmul import as_precision
+    prec = as_precision(precision)
     Pr, Pi = P[..., 0], P[..., 1]
     cr, ci = c[..., 0], c[..., 1]
-    rr = jnp.einsum("kgp,knp->kng", Pr, cr)
-    ii = jnp.einsum("kgp,knp->kng", Pi, ci)
-    ri = jnp.einsum("kgp,knp->kng", Pr, ci)
-    ir = jnp.einsum("kgp,knp->kng", Pi, cr)
+    rr = jnp.einsum("kgp,knp->kng", Pr, cr, precision=prec)
+    ii = jnp.einsum("kgp,knp->kng", Pi, ci, precision=prec)
+    ri = jnp.einsum("kgp,knp->kng", Pr, ci, precision=prec)
+    ir = jnp.einsum("kgp,knp->kng", Pi, cr, precision=prec)
     return jnp.stack([rr - ii, ri + ir], axis=-1)
 
 
@@ -308,7 +316,7 @@ def self_consistent_field_split(basis, tol=2e-5, maxiter=60, n_bands=None,
                                 is_converged="energy",
                                 eigensolver="lobpcg", chebyshev_degree=10,
                                 chefsi_cycles=1, mixing_eps_r=None,
-                                band_chunk=None):
+                                band_chunk=None, filter_precision=None):
     """SCF in the realified split engine (f32, complex-free device code).
 
     Returns a dict (energies, eigenvalues (deduplicated pairs), rho, U, ...).
@@ -361,8 +369,14 @@ def self_consistent_field_split(basis, tol=2e-5, maxiter=60, n_bands=None,
                                     band_chunk=band_chunk)
         if eigensolver == "chefsi":
             from .eigen.chefsi import chefsi_step
+            A_fast = None
+            if filter_precision is not None:
+                A_fast = lambda u: apply_H_split(
+                    ham, u, fft_size, volume, band_chunk=band_chunk,
+                    precision=filter_precision)
             res = chefsi_step(A, U_in, mask2_, degree=chebyshev_degree,
-                              n_conv=2 * n_bands, cycles=chefsi_cycles)
+                              n_conv=2 * n_bands, cycles=chefsi_cycles,
+                              apply_filter=A_fast)
         else:
             res = lobpcg(A, U_in, kin2_, mask2_, tol=diagtol,
                          maxiter=eigensolver_maxiter, n_conv=2 * n_bands)

@@ -94,11 +94,15 @@ def energy_ewald(lattice, charges, positions, eta=None, Gbox=None, Rbox=None):
     diff = positions[:, None, :] - positions[None, :, :]    # [na, na, 3]
     disp = diff[None, :, :, :] - R[:, None, None, :]        # [nr, na, na, 3]
     dcart = jnp.einsum("ab,rijb->rija", lattice, disp)
-    dist = jnp.sqrt(jnp.maximum(jnp.sum(dcart * dcart, axis=-1), 1e-300))
     ZiZj = charges[:, None] * charges[None, :]
-    # mask out the i==j, R==0 self-interaction
+    # mask out the i==j, R==0 self-interaction.  The safe value must be
+    # substituted BEFORE the sqrt: the "double where" idiom keeps not just
+    # the value but all higher derivatives finite (hessians of this energy
+    # feed the DFPT dynamical matrices).
     self_pair = (jnp.all(R == 0, axis=1)[:, None, None]
                  & jnp.eye(len(charges), dtype=bool)[None, :, :])
+    dsq = jnp.sum(dcart * dcart, axis=-1)
+    dist = jnp.sqrt(jnp.where(self_pair, 1.0, dsq))
     contrib = jnp.where(self_pair, 0.0, ZiZj * erfc(eta * dist) / dist)
     sum_real = jnp.sum(contrib) - 2 * eta / math.sqrt(math.pi) * jnp.sum(charges ** 2)
 
