@@ -36,34 +36,43 @@ def apply_kernel(basis, rho0, drho):
 
 
 def solve_dyson(scfres, dV_ext, basis=None, tol=1e-7, maxiter=60,
-                sternheimer_tol=1e-10, verbose=False):
+                sternheimer_tol=1e-10, verbose=False, inexact=False):
     """Self-consistent drho for an external potential perturbation.
 
     dV_ext: [nspin, n1,n2,n3].  Returns (drho, dV_total).
+    inexact=True relaxes the Sternheimer tolerance per GMRES iteration
+    (the reference's inexact_gmres strategy) - cheaper, same answer to tol.
     """
     basis = basis or scfres.basis
     ctx = make_chi0_context(scfres, basis)
     rho0 = jnp.asarray(scfres.rho)
 
-    chi0_f = jax.jit(lambda dv: apply_chi0(ctx, basis, dv,
-                                           tol=sternheimer_tol))
+    # tol enters the Sternheimer while_loop as a traced scalar, so varying
+    # it between calls does NOT retrigger compilation
+    chi0_f = jax.jit(lambda dv, t: apply_chi0(ctx, basis, dv, tol=t))
     kernel_f = jax.jit(lambda dr: apply_kernel(basis, rho0, dr))
 
-    b = chi0_f(dV_ext)
+    b = chi0_f(dV_ext, jnp.asarray(sternheimer_tol))
 
-    def matvec(drho):
-        return drho - chi0_f(kernel_f(drho))
+    def matvec(drho, mtol=sternheimer_tol):
+        return drho - chi0_f(kernel_f(drho), jnp.asarray(mtol))
 
-    drho = gmres(matvec, b, tol=tol, maxiter=maxiter, verbose=verbose)
+    drho = gmres(matvec, b, tol=tol, maxiter=maxiter, verbose=verbose,
+                 inexact=inexact)
     dV_tot = dV_ext + kernel_f(drho)
     return drho, dV_tot
 
 
-def gmres(matvec, b, tol=1e-7, maxiter=60, restart=30, verbose=False):
+def gmres(matvec, b, tol=1e-7, maxiter=60, restart=30, verbose=False,
+          inexact=False, matvec_tol_bounds=(1e-12, 1e-5), safety=0.1):
     """Restarted GMRES with a host-side Arnoldi loop (device matvecs).
 
-    The reference uses an inexact-GMRES variant (response/inexact_gmres.jl);
-    here each matvec is expensive (a full Sternheimer sweep) while the Krylov
+    inexact=True implements the reference's inexact-GMRES strategy
+    (response/inexact_gmres.jl, after Simoncini-Szyld): the per-matvec
+    (Sternheimer) tolerance is RELAXED as the outer residual shrinks,
+    eta_j ~ safety * tol / rel_resid_j - early matvecs are tight, later
+    ones cheap.  With inexact=True, matvec must accept (v, tol).
+    Each matvec is expensive (a full Sternheimer sweep) while the Krylov
     bookkeeping is tiny, so a plain host loop over jitted matvecs is ideal.
     """
     shape = b.shape
@@ -71,21 +80,33 @@ def gmres(matvec, b, tol=1e-7, maxiter=60, restart=30, verbose=False):
     bnorm = np.linalg.norm(bflat)
     if bnorm == 0:
         return jnp.zeros_like(b)
+
+    rel_resid_cur = [1.0]
+
+    def mv(v):
+        if inexact:
+            lo, hi = matvec_tol_bounds
+            eta = float(np.clip(safety * tol / max(rel_resid_cur[0], tol),
+                                lo, hi))
+            return matvec(v, eta)
+        return matvec(v)
+
     x = np.zeros_like(bflat)
     n_matvec = 0
     while n_matvec < maxiter:
         r = bflat - np.asarray(jax.device_get(
-            matvec(jnp.asarray(x.reshape(shape))))).reshape(-1)
+            mv(jnp.asarray(x.reshape(shape))))).reshape(-1)
         n_matvec += 1
         beta = np.linalg.norm(r)
         if beta / bnorm < tol:
             break
+        rel_resid_cur[0] = beta / bnorm
         m = min(restart, maxiter - n_matvec)
         Q = [r / beta]
         H = np.zeros((m + 1, m))
         for j in range(m):
             w = np.asarray(jax.device_get(
-                matvec(jnp.asarray(Q[j].reshape(shape))))).reshape(-1)
+                mv(jnp.asarray(Q[j].reshape(shape))))).reshape(-1)
             n_matvec += 1
             for i in range(j + 1):
                 H[i, j] = Q[i] @ w
@@ -96,6 +117,7 @@ def gmres(matvec, b, tol=1e-7, maxiter=60, restart=30, verbose=False):
             e1[0] = beta
             y, *_ = np.linalg.lstsq(H[:j + 2, :j + 1], e1, rcond=None)
             resid = np.linalg.norm(H[:j + 2, :j + 1] @ y - e1)
+            rel_resid_cur[0] = resid / bnorm
             if verbose:
                 print(f"  gmres it {n_matvec}: rel resid {resid / bnorm:.2e}")
             if resid / bnorm < tol or H[j + 1, j] < 1e-14:

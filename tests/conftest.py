@@ -12,4 +12,7 @@ if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
 
 import jax  # noqa: E402
+# Belt and braces: a TPU-tunnel jax plugin can override JAX_PLATFORMS at
+# import time; the config update below wins over that.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)

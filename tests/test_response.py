@@ -67,3 +67,13 @@ def test_polarizability_vs_finite_difference():
     # gives d mu / d eps = -alpha (electron density flows to low potential)
     assert fd < 0 and alpha > 0
     assert abs(alpha - (-fd)) / abs(fd) < 2e-2
+
+
+def test_inexact_gmres_matches_exact():
+    """Relaxed per-matvec Sternheimer tolerances give the same drho."""
+    basis, res = _helium()
+    r = basis.r_cube @ basis.model.lattice.T
+    dV = (r[..., 2] - A_BOX / 2)[None]
+    drho1, _ = solve_dyson(res, jnp.asarray(dV), tol=1e-8)
+    drho2, _ = solve_dyson(res, jnp.asarray(dV), tol=1e-8, inexact=True)
+    assert float(jnp.abs(drho1 - drho2).max()) < 1e-7
