@@ -47,6 +47,7 @@ from .response.hessian import compute_polarizability, solve_dyson
 from .response.chi0 import apply_chi0, make_chi0_context
 from .io.scfres import load_scfres, save_scfres, todict
 from .io.vtk import save_vts
+from .standardize import find_primitive, minkowski_reduce, standardize_atoms
 from .transfer import transfer_blochwave, transfer_density
 from .utils.timer import memory_usage, timer, versioninfo
 

@@ -1,10 +1,12 @@
 """SCF by mixing in potential space (DFTK `src/scf/potential_mixing.jl`).
 
 Fixed point on the total local potential:  V_out = V[rho(V_in)].  Often more
-robust than density mixing for tricky metals; here with Anderson
-acceleration and a simple adaptive damping (step accepted/shrunk on the
-energy trend - the lightweight cousin of the reference's quadratic-model
-AdaptiveDamping).
+robust than density mixing for tricky metals; with Anderson acceleration and
+the reference's quadratic-model AdaptiveDamping: a trial step that raises
+the energy is BACKTRACKED from the previous potential with the step length
+minimizing the quadratic model fitted from (E_prev, slope, E_trial), where
+the slope along the step is  dE/dalpha ~ dvol <dV_dir, rho_out - rho_in>
+(potential_mixing.jl:29-160).
 """
 import math
 import time
@@ -75,35 +77,63 @@ def scf_potential_mixing(basis, tol=1e-6, maxiter=100, damping=0.8,
     V = potential_of(rho)
     anderson = AndersonAcceleration(m=anderson_depth)
     alpha = damping
+    alpha_min, alpha_max = 0.05, max(1.0, damping)
     E_prev, info, converged = None, None, False
+    rho_prev = rho
+    V_prev, psi_prev = None, None
+    backtracks_left = 0
     history_E, history_dV = [], []
-    for it in range(maxiter):
+    it = 0
+    n_steps = 0
+    while it < maxiter and n_steps < 3 * maxiter:
+        n_steps += 1
         diagtol = max(min(5e-3, (history_dV[-1] if history_dV else 1) * 0.1),
                       tol / 100)
-        V_out, rho_out, psi, eigvals, occ, epsF, energies = \
+        V_out, rho_out, psi_new, eigvals, occ, epsF, energies = \
             step(V, psi, diagtol)
         E_const = {"Ewald": terms.E_ewald,
                    "PspCorrection": terms.E_psp_correction}
         E_total = float(sum(float(jax.device_get(v))
                             for v in energies.values()) + sum(E_const.values()))
+
+        if (E_prev is not None and backtracks_left > 0
+                and E_total > E_prev + max(1e-10, 0.1 * tol)):
+            # quadratic-model backtracking: refit the step length along the
+            # direction dV_dir = (V - V_prev)/alpha from
+            #   E(0) = E_prev,  E'(0) = slope,  E(alpha) = E_total
+            dV_dir = (V - V_prev) / alpha
+            slope = float(jnp.sum(dV_dir * (rho_out - rho_prev)).real) * dvol
+            denom = 2 * (E_total - E_prev - slope * alpha)
+            alpha_model = slope * alpha ** 2 / denom if abs(denom) > 1e-300 \
+                else alpha / 2
+            # trust the model only inside a sane bracket
+            if not (alpha_min <= alpha_model <= 0.75 * alpha):
+                alpha_model = max(alpha / 2, alpha_min)
+            alpha = alpha_model
+            anderson.reset()
+            backtracks_left -= 1
+            V = V_prev + alpha * dV_dir        # redo from the previous state
+            psi = psi_prev
+            continue
+
+        # accepted
+        psi = psi_new
         dV = V_out - V
         ndV = float(jnp.linalg.norm(dV)) * math.sqrt(dvol)
         history_E.append(E_total)
         history_dV.append(ndV)
+        it += 1
         if callback:
-            callback(dict(n_iter=it + 1, E=E_total, dV=ndV, alpha=alpha))
+            callback(dict(n_iter=it, E=E_total, dV=ndV, alpha=alpha))
         converged = ndV < tol
         info = (rho_out, eigvals, occ, epsF, energies, E_const, V_out)
         if converged:
             break
-        # adaptive damping: grow on monotone progress, shrink on the energy
-        # going up (adaptive-damping-lite vs potential_mixing.jl:29-160)
-        if E_prev is not None and E_total > E_prev + 1e-10:
-            alpha = max(alpha / 2, 0.05)
-            anderson.reset()
-        else:
-            alpha = min(alpha * 1.1, damping)
+        V_prev, psi_prev, rho_prev = V, psi, rho_out
         E_prev = E_total
+        backtracks_left = 3
+        alpha = min(alpha * math.sqrt(2.0), alpha_max) \
+            if alpha < damping else damping
         V = anderson(V, dV, alpha)
 
     rho_out, eigvals, occ, epsF, energies, E_const, V_out = info
@@ -114,7 +144,7 @@ def scf_potential_mixing(basis, tol=1e-6, maxiter=100, damping=0.8,
         basis=basis, energies=energies_out,
         eigenvalues=np.asarray(jax.device_get(eigvals)),
         occupation=np.asarray(jax.device_get(occ)), psi=psi, rho=rho_out,
-        epsF=float(epsF), converged=bool(converged), n_iter=it + 1,
+        epsF=float(epsF), converged=bool(converged), n_iter=it,
         n_bands_converge=n_bands, history_Etot=history_E,
         history_Drho=history_dV, n_matvec=0, runtime_s=time.time() - t0,
         V_local=V_out)
