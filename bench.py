@@ -84,19 +84,19 @@ def main():
 
     fft_size = basis.fft_size
     vol = model.unit_cell_volume
-    f = jax.jit(lambda h, u: apply_H_split(h, u, fft_size, vol))
-
-    out = jax.block_until_ready(f(ham, U))         # compile
-    # warm-up + measure
-    for _ in range(3):
-        out = f(ham, out)
-    jax.block_until_ready(out)
     n_iter = 20
+
+    # chain the applies ON DEVICE (lax.fori_loop): one dispatch, honest
+    # wall-clock including overlap - host-side async chaining can under-
+    # report on remote-execution backends
+    def chain(h, u):
+        return jax.lax.fori_loop(
+            0, n_iter, lambda i, x: apply_H_split(h, x, fft_size, vol), u)
+
+    f = jax.jit(chain)
+    jax.block_until_ready(f(ham, U))               # compile + warm
     t0 = time.time()
-    o = U
-    for _ in range(n_iter):
-        o = f(ham, o)
-    jax.block_until_ready(o)
+    jax.block_until_ready(f(ham, U))
     dt = time.time() - t0
 
     # one realified band-vector pair == one complex band apply

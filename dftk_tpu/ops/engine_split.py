@@ -23,7 +23,7 @@ variants); accuracy is the f32 SCF envelope (~1e-4 Ha total energy).
 """
 import math
 from functools import partial
-from typing import NamedTuple, Optional
+from typing import Any, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -64,6 +64,83 @@ def gather_cube_split(cube, Gidx, mask):
     return out * mask[:, None, :, None]
 
 
+class PrunedFFT(NamedTuple):
+    """Pruned matmul-DFT data: the G-sphere occupies only a subset of the
+    grid indices along each axis, so the sphere->real transform contracts
+    rectangular DFT matrices F[n_a, m_a] over the occupied planes only -
+    fewer FLOPs AND an (m1*m2*m3)-sized scatter cube instead of the full
+    grid (the matmul-DFT analogue of classic plane-wave FFT pruning)."""
+    Gidx_c: jnp.ndarray      # [nk, nG] flat index into the compact cube
+    Ff: tuple                # 3 x (cos [n_a, m_a], sin): compact -> full
+    Fb: tuple                # 3 x (cos [m_a, n_a], sin): full -> compact
+
+
+def build_pruned_fft(basis, dtype=jnp.float32):
+    fft_size = basis.fft_size
+    idx = basis.Gidx_np                            # [nk, nG] flat full-cube
+    iaxes = np.unravel_index(idx, fft_size)        # 3 x [nk, nG]
+    sels, poss = [], []
+    for a in range(3):
+        sel = np.unique(iaxes[a])                  # sorted occupied indices
+        pos = np.full(fft_size[a], -1, dtype=np.int64)
+        pos[sel] = np.arange(len(sel))
+        sels.append(sel)
+        poss.append(pos)
+    m = [len(sel) for sel in sels]
+    Gidx_c = ((poss[0][iaxes[0]] * m[1] + poss[1][iaxes[1]]) * m[2]
+              + poss[2][iaxes[2]]).astype(np.int32)
+
+    Ff, Fb = [], []
+    for a in range(3):
+        n = fft_size[a]
+        r = np.arange(n)
+        phase = 2 * np.pi * np.outer(r, sels[a]) / n     # [n_a, m_a]
+        Ff.append((jnp.asarray(np.cos(phase), dtype=dtype),
+                   jnp.asarray(np.sin(phase), dtype=dtype)))
+        Fb.append((jnp.asarray(np.cos(phase).T, dtype=dtype),
+                   jnp.asarray(-np.sin(phase).T, dtype=dtype)))
+    return PrunedFFT(Gidx_c=jnp.asarray(Gidx_c), Ff=tuple(Ff), Fb=tuple(Fb))
+
+
+def _scatter_compact(xy, Gidx_c, mask, m_shape):
+    N = int(np.prod(m_shape))
+    c = xy * mask[:, None, :, None]
+
+    def one_k(c_k, idx):
+        flat = jnp.zeros((c_k.shape[0], N, 2), dtype=c_k.dtype)
+        return flat.at[:, idx, :].add(c_k)
+
+    flat = jax.vmap(one_k)(c, Gidx_c)
+    return flat.reshape(c.shape[:2] + tuple(m_shape) + (2,))
+
+
+def sphere_to_real_pruned(xy, pf: PrunedFFT, mask, precision=None):
+    """coeffs [nk,nb,nG,2] -> real-space cube [nk,nb,n1,n2,n3,2]
+    (== dft3(scatter_cube_split(...), sign=+1))."""
+    from ..kernels.dft_matmul import _axis_transform, as_precision
+    prec = as_precision(precision)
+    m_shape = tuple(F[0].shape[1] for F in pf.Ff)
+    x = _scatter_compact(xy, pf.Gidx_c, mask, m_shape)
+    x = _axis_transform(x, pf.Ff[2], -1, prec)
+    x = _axis_transform(x, pf.Ff[1], -2, prec)
+    x = _axis_transform(x, pf.Ff[0], -3, prec)
+    return x
+
+
+def real_to_sphere_pruned(cube, pf: PrunedFFT, mask, fft_size,
+                          precision=None):
+    """real cube -> sphere coeffs (== gather(dft3(cube, -1))/N)."""
+    from ..kernels.dft_matmul import _axis_transform, as_precision
+    prec = as_precision(precision)
+    x = _axis_transform(cube, pf.Fb[2], -1, prec)
+    x = _axis_transform(x, pf.Fb[1], -2, prec)
+    x = _axis_transform(x, pf.Fb[0], -3, prec)
+    x = x / float(np.prod(fft_size))
+    flat = x.reshape(x.shape[:2] + (-1, 2))
+    out = jax.vmap(lambda f, idx: f[:, idx, :])(flat, pf.Gidx_c)
+    return out * mask[:, None, :, None]
+
+
 def apply_H_split(ham: Ham, U, fft_size, volume, band_chunk=None,
                   precision=None):
     """Realified H apply: U [nk, nbr, 2nG] -> [nk, nbr, 2nG].
@@ -79,7 +156,15 @@ def apply_H_split(ham: Ham, U, fft_size, volume, band_chunk=None,
     kin_part = ham.kin[:, None, :, None] * xy
     Vk = ham.V[ham.kspin]                                  # [nk, n1,n2,n3]
 
+    pf = ham.fft_pruned
+
     def local_block(xy_blk):
+        if pf is not None:
+            psir = sphere_to_real_pruned(xy_blk, pf, ham.mask,
+                                         precision=precision)
+            vpsir = Vk[:, None, :, :, :, None] * psir
+            return real_to_sphere_pruned(vpsir, pf, ham.mask, fft_size,
+                                         precision=precision)
         cube = scatter_cube_split(xy_blk, ham.Gidx, ham.mask, fft_size)
         psir = dft3(cube, sign=+1, precision=precision)    # unnormalised BFFT
         vpsir = Vk[:, None, :, :, :, None] * psir
@@ -149,14 +234,16 @@ class SplitTermsData(NamedTuple):
     kspin: jnp.ndarray
     kweights: jnp.ndarray
     G_cart: jnp.ndarray         # [n1,n2,n3,3]
+    pruned: Any = None          # PrunedFFT or None
 
 
-def prepare_split_data(basis, dtype=jnp.float32):
+def prepare_split_data(basis, dtype=jnp.float32, pruned=True):
     terms = basis.terms
     P = terms.P_np if terms.P_np is not None \
         else np.zeros((basis.n_kpoints, basis.nG_max, 0), dtype=np.complex128)
     D = terms.D_np if terms.D_np is not None else np.zeros((0, 0))
     return SplitTermsData(
+        pruned=build_pruned_fft(basis, dtype=dtype) if pruned else None,
         vloc_static=jnp.asarray(terms.vloc_np, dtype=dtype),
         hartree_coeffs=jnp.asarray(terms.hartree_np, dtype=dtype),
         P_split=jnp.asarray(to_split(P), dtype=dtype),
@@ -172,7 +259,7 @@ def prepare_split_data(basis, dtype=jnp.float32):
 
 def make_split_ham(sd: SplitTermsData, V):
     return Ham(Gidx=sd.Gidx, mask=sd.mask, kin=sd.kin, kspin=sd.kspin,
-               V=V, P=sd.P_split, D=sd.D)
+               V=V, P=sd.P_split, D=sd.D, fft_pruned=sd.pruned)
 
 
 def compute_density_split(sd: SplitTermsData, U, occupation, fft_size, volume,
@@ -184,8 +271,12 @@ def compute_density_split(sd: SplitTermsData, U, occupation, fft_size, volume,
 
     def dens_block(args):
         xy_blk, w_blk = args
-        cube = scatter_cube_split(xy_blk, sd.Gidx, sd.mask, fft_size)
-        psir = dft3(cube, sign=+1) / math.sqrt(volume)
+        if sd.pruned is not None:
+            psir = sphere_to_real_pruned(xy_blk, sd.pruned, sd.mask) \
+                / math.sqrt(volume)
+        else:
+            cube = scatter_cube_split(xy_blk, sd.Gidx, sd.mask, fft_size)
+            psir = dft3(cube, sign=+1) / math.sqrt(volume)
         return jnp.einsum("kn,knxyz->kxyz", w_blk, abs2(psir))
 
     nb = xy.shape[1]

@@ -40,6 +40,7 @@ class Ham(NamedTuple):
     exx_kernel: Any = None   # [n1,n2,n3] Fourier exchange kernel (or None)
     exx_psi: Any = None      # [nk, nb_x, nG] orbitals generating the exchange
     exx_occ: Any = None      # [nk, nb_x] their occupations / filled
+    fft_pruned: Any = None   # split-engine pruned matmul-DFT data
 
 
 def build_ham(basis_data, terms_data: TermsData, V_local, kin_override=None,

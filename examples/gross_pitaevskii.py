@@ -1,24 +1,23 @@
-"""Gross-Pitaevskii equation via the LocalNonlinearity term
-(reference examples/gross_pitaevskii.jl): one particle with quartic
-self-interaction in a box."""
+"""1-particle Gross-Pitaevskii equation in a harmonic trap (the
+reference's 'custom potentials / nonlinearities' example): no atoms, an
+external potential term + a local rho^2 nonlinearity."""
 import numpy as np
-import jax.numpy as jnp
 import dftk_tpu as dftk
 
-lattice = np.diag([10.0, 10.0, 10.0])
-def Vext(r_cart):
-    # harmonic confinement around the box center
-    r2 = np.sum((r_cart - 5.0) ** 2, axis=-1)
-    return 0.5 * r2
+lattice = np.eye(3) * 10.0
 
-C = 1.0  # interaction strength
-model = dftk.Model(
-    lattice=lattice, atoms=[], positions=[], n_electrons=1,
-    spin_polarization="spinless",
-    term_types=[dftk.Kinetic(),
-                dftk.ExternalFromReal(Vext),
-                dftk.LocalNonlinearity(lambda rho: C * rho ** 2)],
-    symmetries=False)
-basis = dftk.PlaneWaveBasis(model, Ecut=20.0, kgrid=(1, 1, 1))
-scfres = dftk.self_consistent_field(basis, tol=1e-8)
-print("GP energy terms:", scfres.energies)
+def pot(r_cart):
+    c = 5.0
+    return ((r_cart[..., 0] - c) ** 2
+            + (r_cart[..., 1] - c) ** 2
+            + (r_cart[..., 2] - c) ** 2) / 2
+
+model = dftk.Model(lattice, [], [], n_electrons=1,
+                   spin_polarization="spinless",
+                   term_types=[dftk.Kinetic(),
+                               dftk.ExternalFromReal(pot),
+                               dftk.LocalNonlinearity(lambda rho: 10.0 / 2 * rho ** 2)],
+                   symmetries=False)
+basis = dftk.PlaneWaveBasis(model, Ecut=30.0, kgrid=(1, 1, 1))
+res = dftk.direct_minimization(basis, tol=1e-9)
+print("GPE energies:", {k: round(v, 6) for k, v in res.energies.items()})
