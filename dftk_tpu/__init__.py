@@ -41,6 +41,7 @@ from .postprocess.forces import compute_forces, compute_forces_cart
 from .postprocess.stresses import compute_stresses_cart
 from .postprocess.bands import compute_bands, irrfbz_path
 from .postprocess.unfold import unfold_bz
+from .postprocess.geometry import optimize_geometry
 from .postprocess.dos import compute_dos, compute_ldos
 from .postprocess.phonon import phonon_modes_finite_diff
 from .response.hessian import compute_polarizability, solve_dyson
