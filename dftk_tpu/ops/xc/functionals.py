@@ -34,6 +34,18 @@ def _safe_rho(rho):
     return jnp.maximum(rho, _RHO_EPS)
 
 
+def _den_floor(x):
+    """Floor for squared-denominator expressions like (2 kF rho)^2.
+
+    Must be large enough that 1/floor^2 (which appears in the GRADIENT of
+    sigma/denominator) stays finite in the working dtype: 1e-40 is fine in
+    f64 but its square underflows in f32, turning mixing overshoots into
+    negative-density NaNs on reduced-precision backends.
+    """
+    floor = 1e-15 if jnp.finfo(jnp.result_type(x)).bits <= 32 else 1e-40
+    return jnp.maximum(x, floor)
+
+
 def _rs_from_rho(rho):
     return (3 / (4 * math.pi * _safe_rho(rho))) ** (1 / 3)
 
@@ -176,7 +188,7 @@ _PBE_GAMMA = (1 - math.log(2.0)) / math.pi ** 2
 def _pbe_x_unpol(rho, sigma, mu, kappa):
     r = _safe_rho(rho)
     kf = (3 * math.pi ** 2 * r) ** (1 / 3)
-    s2 = sigma / jnp.maximum((2 * kf * r) ** 2, 1e-40)
+    s2 = sigma / _den_floor((2 * kf * r) ** 2)
     Fx = 1 + kappa - kappa / (1 + mu * s2 / kappa)
     return _CX * r ** (4 / 3) * Fx
 
@@ -214,12 +226,12 @@ def _gga_c_pbe(rho, sigma, beta):
     phi = ((1 + zeta) ** (2 / 3) + (1 - zeta) ** (2 / 3)) / 2
     kf = (3 * math.pi ** 2 * rho_tot) ** (1 / 3)
     ks = jnp.sqrt(4 * kf / math.pi)
-    t2 = sig / jnp.maximum((2 * phi * ks * rho_tot) ** 2, 1e-40)
+    t2 = sig / _den_floor((2 * phi * ks * rho_tot) ** 2)
 
     gamma = _PBE_GAMMA
     phi3 = phi ** 3
     A_arg = jnp.exp(-eps_lda / (gamma * phi3))
-    A = beta / gamma / jnp.maximum(A_arg - 1, 1e-40)
+    A = beta / gamma / _den_floor(A_arg - 1)
     num = 1 + A * t2
     H = gamma * phi3 * jnp.log1p(beta / gamma * t2 * num
                                  / (num + (A * t2) ** 2))

@@ -13,7 +13,8 @@ import math
 
 import jax.numpy as jnp
 
-from .functionals import (_CX, _f_zeta, _pw_eps, _rs_from_rho, _safe_rho)
+from .functionals import (_CX, _den_floor, _f_zeta, _pw_eps,
+                          _rs_from_rho, _safe_rho)
 
 # ---- SCAN exchange constants ----------------------------------------------
 _SX_K1 = 0.065
@@ -57,7 +58,7 @@ def _scan_fx_unpol(rho, sigma, tau):
     t = jnp.maximum(tau, 0.0)
 
     kf = (3 * math.pi ** 2 * r) ** (1.0 / 3.0)
-    s2 = sig / jnp.maximum((2 * kf * r) ** 2, 1e-40)
+    s2 = sig / _den_floor((2 * kf * r) ** 2)
     tau_unif = 0.3 * (3 * math.pi ** 2) ** (2.0 / 3.0) * r ** (5.0 / 3.0)
     tau_w = sig / (8 * r)
     alpha = jnp.maximum(t - tau_w, 0.0) / jnp.maximum(tau_unif, 1e-30)
@@ -125,7 +126,7 @@ def scan_energy(rho, sigma, tau):
 
     rs = _rs_from_rho(rho_tot)
     kf = (3 * math.pi ** 2 * rho_tot) ** (1.0 / 3.0)
-    s2 = sig_tot / jnp.maximum((2 * kf * rho_tot) ** 2, 1e-40)
+    s2 = sig_tot / _den_floor((2 * kf * rho_tot) ** 2)
     tau_unif = 0.3 * (3 * math.pi ** 2) ** (2.0 / 3.0) * rho_tot ** (5.0 / 3.0)
     ds_z = ((1 + zeta) ** (5.0 / 3.0) + (1 - zeta) ** (5.0 / 3.0)) / 2
     tau_w = sig_tot / (8 * rho_tot)

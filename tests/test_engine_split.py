@@ -78,3 +78,24 @@ def test_split_scf_f32_accuracy(si_setup):
                                       dtype=jnp.float32)
     assert res["converged"]
     assert abs(res["energies"]["total"] - (-7.8890399)) < 2e-3
+
+
+def test_chefsi_filter_precision_path():
+    """filter_precision plumbs a second apply into CheFSI (same physics)."""
+    import jax.numpy as jnp
+    from testcases import make_silicon_model
+    import dftk_tpu as dftk
+    from dftk_tpu.ops.engine_split import self_consistent_field_split
+    m = make_silicon_model()
+    b = dftk.PlaneWaveBasis(m, Ecut=6.0, kgrid=(1, 1, 1))
+    r1 = self_consistent_field_split(b, tol=1e-8, maxiter=40,
+                                     eigensolver="chefsi",
+                                     chebyshev_degree=8, chefsi_cycles=2,
+                                     dtype=jnp.float64)
+    r2 = self_consistent_field_split(b, tol=1e-8, maxiter=40,
+                                     eigensolver="chefsi",
+                                     chebyshev_degree=8, chefsi_cycles=2,
+                                     dtype=jnp.float64,
+                                     filter_precision="highest")
+    assert r1["converged"] and r2["converged"]
+    assert abs(r1["energies"]["total"] - r2["energies"]["total"]) < 1e-7

@@ -88,3 +88,21 @@ def test_potentials_finite_everywhere():
         f = FUNCTIONALS[name]
         v = jax.grad(lambda r: jnp.sum(f.energy(r, None)))(rho)
         assert np.all(np.isfinite(np.asarray(v)))
+
+
+def test_gradients_finite_at_negative_density_f32():
+    """Mixing can overshoot into slightly negative densities; the XC
+    gradients must stay finite in f32 (the squared denominator floors must
+    not underflow - this NaN'd metallic SCF on the chip)."""
+    import jax
+    import jax.numpy as jnp
+    from dftk_tpu.ops.xc import functionals as F
+
+    rho = jnp.asarray([[-1e-5, 1e-12, 1e-3, 0.02]], dtype=jnp.float32)
+    sigma = jnp.asarray([[1e-6, 1e-8, 1e-6, 1e-4]], dtype=jnp.float32)
+    for fn in (F.lda_x_energy, F.gga_x_pbe_energy, F.gga_c_pbe_energy,
+               F.gga_x_pbe_sol_energy, F.gga_c_pbe_sol_energy):
+        g = jax.grad(lambda r: jnp.sum(fn(r, sigma)))(rho)
+        gs = jax.grad(lambda s: jnp.sum(fn(rho, s)))(sigma)
+        assert bool(jnp.all(jnp.isfinite(g))), fn
+        assert bool(jnp.all(jnp.isfinite(gs))), fn
