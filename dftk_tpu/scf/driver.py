@@ -12,6 +12,7 @@ scf_callbacks.jl:191-230).  The step is one compiled XLA program; only the
 small mixing/convergence logic runs in Python between steps.
 """
 import dataclasses
+import math
 import time
 from functools import partial
 from typing import Any, Callable, Dict, Optional
@@ -404,6 +405,16 @@ def self_consistent_field(
     energies_out = {k: float(jax.device_get(v)) for k, v in energies.items()}
     energies_out.update(E_const)
     energies_out["total"] = float(sum(energies_out.values()))
+
+    if not converged or not math.isfinite(energies_out["total"]):
+        from ..utils.debugdump import debug_dump
+        path = debug_dump(
+            "scf-not-converged",
+            meta=dict(energies=energies_out, n_iter=it + 1, epsF=float(epsF),
+                      history_E=history_E, history_drho=history_drho),
+            rho=rho_out, eigenvalues=eigvals, occupation=occ)
+        if path:
+            print(f"SCF debug state dumped to {path}")
 
     return SCFResult(
         basis=basis, energies=energies_out,
