@@ -518,10 +518,14 @@ def self_consistent_field_split(basis, tol=2e-5, maxiter=60, n_bands=None,
         rho_out, U, eigvals, occ, epsF, energies = scf_step(rho, U, diagtol)
         E_const = {"Ewald": terms.E_ewald,
                    "PspCorrection": terms.E_psp_correction}
-        E_total = float(sum(float(jax.device_get(v))
-                            for v in energies.values()) + sum(E_const.values()))
         delta_F = rho_out - rho
-        drho = float(jnp.linalg.norm(delta_F)) * math.sqrt(dvol)
+        # ONE batched host fetch per iteration: on remote-execution
+        # backends every device_get is a network round trip, and fetching
+        # the energy scalars one by one dominated the Si256 iteration time
+        energies_h, drho_h = jax.device_get(
+            (energies, jnp.linalg.norm(delta_F)))
+        E_total = float(sum(energies_h.values()) + sum(E_const.values()))
+        drho = float(drho_h) * math.sqrt(dvol)
         history.append((E_total, drho))
         if callback:
             callback(dict(n_iter=it + 1, E=E_total, drho=drho))

@@ -342,15 +342,17 @@ def self_consistent_field(
          V_out, tau_out) = scf_step(rho, psi, diagtol, tau, exx_occ)
         if has_exx or has_hubbard:
             exx_occ = occ
-        n_matvec_total += int(nmv)
 
         E_const = {"Ewald": terms.E_ewald, "PspCorrection": terms.E_psp_correction}
         if terms.E_pairwise:
             E_const["PairwisePotential"] = terms.E_pairwise
-        E_total = float(sum(jax.device_get(v) for v in energies.values())
-                        + sum(E_const.values()))
         delta_F = rho_out - rho
-        drho = float(jnp.linalg.norm(delta_F)) * np.sqrt(dvol)
+        # batch the scalar fetches: one round trip per iteration
+        energies_h, drho_h, epsF, nmv, eig_iters = jax.device_get(
+            (energies, jnp.linalg.norm(delta_F), epsF, nmv, eig_iters))
+        n_matvec_total += int(nmv)
+        E_total = float(sum(energies_h.values()) + sum(E_const.values()))
+        drho = float(drho_h) * np.sqrt(dvol)
         history_E.append(E_total)
         history_drho.append(drho)
 

@@ -98,3 +98,20 @@ def test_hubbard_occupation_symmetrization():
     # after symmetrization they agree to SCF-convergence noise
     for (a, bnd) in sl1:
         assert np.abs(n1s[0, a:bnd, a:bnd] - n2[0, a:bnd, a:bnd]).max() < 1e-6
+
+
+def test_ldos_mixing_matches_kerker():
+    """LdosMixing (chi0-model) converges a metal to the Kerker answer."""
+    from testcases import iron_bcc
+    from dftk_tpu.scf.mixing import KerkerMixing, LdosMixing
+    Fe = dftk.ElementPsp.from_symbol("Fe", psp=iron_bcc["psp"])
+    m = dftk.model_DFT(iron_bcc["lattice"], [Fe], iron_bcc["positions"],
+                       functionals="LDA", temperature=iron_bcc["temperature"],
+                       smearing=dftk.Smearing.Gaussian())
+    b = dftk.PlaneWaveBasis(m, Ecut=10.0, kgrid=(2, 2, 2))
+    r1 = dftk.self_consistent_field(b, tol=1e-8, mixing=KerkerMixing())
+    r2 = dftk.self_consistent_field(b, tol=1e-8, mixing=LdosMixing())
+    assert r1.converged and r2.converged
+    assert abs(r1.total_energy - r2.total_energy) < 1e-7
+    # the chi0-model should not be dramatically slower than Kerker here
+    assert r2.n_iter <= r1.n_iter + 15

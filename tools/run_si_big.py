@@ -17,6 +17,7 @@ Ecut = float(sys.argv[4]) if len(sys.argv) > 4 else 10.0
 filter_precision = os.environ.get("DFTK_FILTER_PRECISION") or None
 cheb_degree = int(os.environ.get("DFTK_CHEB_DEGREE", "10"))
 cheb_cycles = int(os.environ.get("DFTK_CHEB_CYCLES", "2"))
+max_iter = int(os.environ.get("DFTK_MAXITER", "40"))
 
 import dftk_tpu as dftk
 from dftk_tpu.supercell import create_supercell
@@ -41,7 +42,7 @@ print(f"basis: fft={basis.fft_size} nG={basis.nG_max} "
 
 nb = natoms * 2 + max(8, natoms // 4)      # n_occ + extra
 res = self_consistent_field_split(
-    basis, tol=5e-7 * natoms, maxiter=40, n_bands=natoms * 2,
+    basis, tol=5e-7 * natoms, maxiter=max_iter, n_bands=natoms * 2,
     n_extra_bands=nb - natoms * 2, eigensolver="chefsi", chebyshev_degree=cheb_degree,
     chefsi_cycles=cheb_cycles, mixing_eps_r=12.0, damping=0.6,
     band_chunk=256, is_converged="energy", filter_precision=filter_precision,
