@@ -386,6 +386,50 @@ def make_symmetrizer_split(basis, dtype=jnp.float32):
     return symmetrize
 
 
+def make_mix_step(mixer, m_hist, damping):
+    """One-jit-program mixing update for the split SCF loop.
+
+    On remote-execution backends every eager jnp op is its own round trip,
+    so the Anderson update (a dozen small ops) dominated the Si256
+    iteration time.  This rolls preconditioning + fixed-size ring-buffer
+    Anderson + the residual norm into a single jitted function:
+
+        rho_new, histX, histF, cnt, drho = mix_step(rho, rho_out,
+                                                    histX, histF, cnt)
+    """
+    def mix_step(rho, rho_out, histX, histF, cnt):
+        delta_F = rho_out - rho
+        drho = jnp.linalg.norm(delta_F)
+        f = mixer(delta_F) if mixer is not None else delta_F
+
+        x = rho
+        xnext = x + damping * f
+        if m_hist > 0:
+            # ring buffer fills from the END (roll + set at -1)
+            valid = (jnp.arange(m_hist) >= m_hist - cnt)
+            dX = (x[None] - histX) * valid[:, None, None, None, None]
+            dF = (f[None] - histF) * valid[:, None, None, None, None]
+            M = dF.reshape(m_hist, -1)                  # [m, N]
+            rhs = f.reshape(-1)
+            colnorm = jnp.linalg.norm(M, axis=1)
+            scale = jnp.where(colnorm > 1e-30, 1.0 / jnp.maximum(colnorm, 1e-30),
+                              0.0)
+            Ms = M * scale[:, None]
+            ridge = 100 * jnp.finfo(Ms.dtype).eps
+            A = Ms @ Ms.T + ridge * jnp.eye(m_hist, dtype=Ms.dtype)
+            bvec = Ms @ rhs
+            gammas = jnp.linalg.solve(A, bvec) * scale
+            corr = jnp.tensordot(gammas, dX + damping * dF, axes=(0, 0))
+            xnext = xnext - corr
+            # push (x, f) into the ring buffer
+            histX = jnp.roll(histX, -1, axis=0).at[-1].set(x)
+            histF = jnp.roll(histF, -1, axis=0).at[-1].set(f)
+            cnt = jnp.minimum(cnt + 1, m_hist)
+        return xnext, histX, histF, cnt, drho
+
+    return jax.jit(mix_step)
+
+
 def kerker_mix_split(delta_F, Gsq, kTF=0.8):
     """Kerker preconditioner via the split DFT (total channel only)."""
     total = jnp.sum(delta_F, axis=0)
@@ -489,7 +533,6 @@ def self_consistent_field_split(basis, tol=2e-5, maxiter=60, n_bands=None,
     _scf_step = jax.jit(scf_step)
     scf_step = lambda rho_in, U_in, diagtol: _scf_step(
         sd, kin2, mask2, rho_in, U_in, diagtol)
-    anderson = AndersonAcceleration(m=anderson_depth)
     if use_kerker is None:
         use_kerker = model.temperature > 0
     if mixing_eps_r is not None:
@@ -505,11 +548,19 @@ def self_consistent_field_split(basis, tol=2e-5, maxiter=60, n_bands=None,
                 return mixed[None]
             spin = delta_F[0] - delta_F[1]
             return jnp.stack([(mixed + spin) / 2, (mixed - spin) / 2])
-        mixer = jax.jit(dielectric_mix)
+        mixer = dielectric_mix
     elif use_kerker:
-        mixer = jax.jit(partial(kerker_mix_split, Gsq=Gsq))
+        mixer = partial(kerker_mix_split, Gsq=Gsq)
     else:
         mixer = None
+
+    # the whole mixing update (preconditioner + Anderson + residual norm)
+    # is ONE jitted program per iteration; eager op-by-op mixing costs a
+    # remote round trip per op on tunneled backends
+    mix_step = make_mix_step(mixer, anderson_depth, damping)
+    histX = jnp.zeros((anderson_depth,) + tuple(rho.shape), dtype=rho.dtype)
+    histF = jnp.zeros_like(histX)
+    hist_cnt = jnp.asarray(0)
 
     E_prev, converged, diagtol = None, False, diagtol_max
     history = []
@@ -518,12 +569,10 @@ def self_consistent_field_split(basis, tol=2e-5, maxiter=60, n_bands=None,
         rho_out, U, eigvals, occ, epsF, energies = scf_step(rho, U, diagtol)
         E_const = {"Ewald": terms.E_ewald,
                    "PspCorrection": terms.E_psp_correction}
-        delta_F = rho_out - rho
-        # ONE batched host fetch per iteration: on remote-execution
-        # backends every device_get is a network round trip, and fetching
-        # the energy scalars one by one dominated the Si256 iteration time
-        energies_h, drho_h = jax.device_get(
-            (energies, jnp.linalg.norm(delta_F)))
+        rho_mixed, histX, histF, hist_cnt, drho_dev = mix_step(
+            rho, rho_out, histX, histF, hist_cnt)
+        # ONE batched host fetch per iteration
+        energies_h, drho_h = jax.device_get((energies, drho_dev))
         E_total = float(sum(energies_h.values()) + sum(E_const.values()))
         drho = float(drho_h) * math.sqrt(dvol)
         history.append((E_total, drho))
@@ -538,8 +587,7 @@ def self_consistent_field_split(basis, tol=2e-5, maxiter=60, n_bands=None,
         if converged:
             rho = rho_out
             break
-        dmix = mixer(delta_F) if mixer is not None else delta_F
-        rho = anderson(rho, dmix, damping)
+        rho = rho_mixed
         diagtol = min(diagtol, max(0.2 * drho, diagtol_min))
 
     rho_out, eigvals, occ, epsF, energies, E_const = info
