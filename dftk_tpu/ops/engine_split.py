@@ -103,14 +103,19 @@ def build_pruned_fft(basis, dtype=jnp.float32):
 
 
 def _scatter_compact(xy, Gidx_c, mask, m_shape):
+    """Sphere -> compact cube.  The mapping is INJECTIVE (each sphere point
+    owns one compact cell), so this is a unique-index set, not an
+    accumulating scatter; padding rows are routed to a dump slot N."""
     N = int(np.prod(m_shape))
     c = xy * mask[:, None, :, None]
+    # padding entries (mask 0) all carry index 0; send them to slot N
+    idx_safe = jnp.where(mask > 0, Gidx_c.astype(jnp.int32), N)
 
     def one_k(c_k, idx):
-        flat = jnp.zeros((c_k.shape[0], N, 2), dtype=c_k.dtype)
-        return flat.at[:, idx, :].add(c_k)
+        flat = jnp.zeros((c_k.shape[0], N + 1, 2), dtype=c_k.dtype)
+        return flat.at[:, idx, :].set(c_k, unique_indices=True)[:, :N]
 
-    flat = jax.vmap(one_k)(c, Gidx_c)
+    flat = jax.vmap(one_k)(c, idx_safe)
     return flat.reshape(c.shape[:2] + tuple(m_shape) + (2,))
 
 
