@@ -49,28 +49,48 @@ def estimate_upper_bound(apply_A, shape_like, mask, n_iter=12, key=None):
     return 1.1 * jnp.max(lam)          # safety margin
 
 
-def chebyshev_filter(apply_A, X, degree, lb, ub):
+def chebyshev_filter(apply_A, X, degree, lb, ub, band_chunk=None):
     """p_m(H) X with Chebyshev polynomials mapped so [lb, ub] is damped.
 
     Scaled three-term recurrence (Zhou et al. Algorithm 4.3 style):
     amplifies eigenvalues below lb, damps [lb, ub] to <= 1.
+
+    band_chunk: filter in blocks of this many bands.  The recurrence is
+    independent per band, so chunking bounds the three live full-width
+    temporaries to chunk size - the difference between fitting and OOM for
+    2000-electron problems on one chip.
     """
     e = (ub - lb) / 2
     c = (ub + lb) / 2
-    t0 = X
-    t1 = (apply_A(X) - c * X) * (1.0 / e)
 
-    def body(i, carry):
-        tm1, t = carry
-        tn = 2.0 / e * (apply_A(t) - c * t) - tm1
-        return (t, tn)
+    def filter_block(Xb):
+        t0 = Xb
+        t1 = (apply_A(Xb) - c * Xb) * (1.0 / e)
 
-    _, tm = jax.lax.fori_loop(0, degree - 1, body, (t0, t1))
-    return tm
+        def body(i, carry):
+            tm1, t = carry
+            tn = 2.0 / e * (apply_A(t) - c * t) - tm1
+            return (t, tn)
+
+        _, tm = jax.lax.fori_loop(0, degree - 1, body, (t0, t1))
+        return tm
+
+    nb = X.shape[1]
+    if band_chunk is None or band_chunk >= nb:
+        return filter_block(X)
+    nblk = -(-nb // band_chunk)
+    pad = nblk * band_chunk - nb
+    Xp = jnp.pad(X, ((0, 0), (0, pad), (0, 0)))
+    blocks = jnp.moveaxis(
+        Xp.reshape(X.shape[0], nblk, band_chunk, X.shape[2]), 1, 0)
+    out = jax.lax.map(filter_block, blocks)
+    return jnp.moveaxis(out, 0, 1).reshape(
+        X.shape[0], nblk * band_chunk, X.shape[2])[:, :nb]
 
 
 def chefsi_step(apply_A, X, mask, degree=8, lb=None, ub=None,
-                n_conv=None, lb_margin=0.05, cycles=1, apply_filter=None):
+                n_conv=None, lb_margin=0.05, cycles=1, apply_filter=None,
+                band_chunk=None):
     """Filter + orthonormalise + Rayleigh-Ritz cycles.
 
     The damping window is [lb, ub]: everything ABOVE the wanted spectrum.
@@ -109,8 +129,8 @@ def chefsi_step(apply_A, X, mask, degree=8, lb=None, ub=None,
             lb_cur = lb
         lb_cur = jnp.minimum(lb_cur, ub - 0.2 * jnp.abs(ub))
 
-        Y = chebyshev_filter(apply_filter, X, degree, lb_cur, ub) \
-            * mask[:, None, :]
+        Y = chebyshev_filter(apply_filter, X, degree, lb_cur, ub,
+                             band_chunk=band_chunk) * mask[:, None, :]
         Y = ortho_qr(Y)
         AY = apply_A(Y)
         Hred = _inner(Y, AY)

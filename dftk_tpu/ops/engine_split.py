@@ -516,7 +516,7 @@ def self_consistent_field_split(basis, tol=2e-5, maxiter=60, n_bands=None,
                     precision=filter_precision)
             res = chefsi_step(A, U_in, mask2_, degree=chebyshev_degree,
                               n_conv=2 * n_bands, cycles=chefsi_cycles,
-                              apply_filter=A_fast)
+                              apply_filter=A_fast, band_chunk=band_chunk)
         else:
             res = lobpcg(A, U_in, kin2_, mask2_, tol=diagtol,
                          maxiter=eigensolver_maxiter, n_conv=2 * n_bands)
