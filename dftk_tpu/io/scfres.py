@@ -117,8 +117,16 @@ def _rebuild_basis(meta):
     for entry in m["atoms"]:
         if entry["type"] == "ElementPsp":
             key = entry["psp_identifier"]
-            key = key[4:] if key.startswith("hgh/") else entry["symbol"]
-            atoms.append(dftk.ElementPsp.from_symbol(entry["symbol"], psp=key))
+            try:
+                psp = dftk.load_psp(key)
+            except (KeyError, FileNotFoundError, OSError) as exc:
+                raise ValueError(
+                    f"cannot rebuild pseudopotential {key!r} on checkpoint "
+                    f"reload (lincomb/VCA and ad-hoc psps are not "
+                    f"reconstructible from their identifier); rebuild the "
+                    f"basis manually and pass rebuild_basis=False") from exc
+            atoms.append(dftk.ElementPsp.from_symbol(entry["symbol"],
+                                                     psp=psp))
         elif entry["type"] == "ElementCoulomb":
             atoms.append(dftk.ElementCoulomb(Z=entry["Z"]))
         else:

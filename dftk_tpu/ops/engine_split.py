@@ -107,12 +107,15 @@ def _scatter_compact(xy, Gidx_c, mask, m_shape):
     owns one compact cell), so this is a unique-index set, not an
     accumulating scatter; padding rows are routed to a dump slot N."""
     N = int(np.prod(m_shape))
+    nG = mask.shape[-1]
     c = xy * mask[:, None, :, None]
-    # padding entries (mask 0) all carry index 0; send them to slot N
-    idx_safe = jnp.where(mask > 0, Gidx_c.astype(jnp.int32), N)
+    # padding entries (mask 0) all carry index 0; route each to its own
+    # dump slot N+j so the unique_indices contract genuinely holds
+    dump = N + jnp.arange(nG, dtype=jnp.int32)
+    idx_safe = jnp.where(mask > 0, Gidx_c.astype(jnp.int32), dump[None, :])
 
     def one_k(c_k, idx):
-        flat = jnp.zeros((c_k.shape[0], N + 1, 2), dtype=c_k.dtype)
+        flat = jnp.zeros((c_k.shape[0], N + nG, 2), dtype=c_k.dtype)
         return flat.at[:, idx, :].set(c_k, unique_indices=True)[:, :N]
 
     flat = jax.vmap(one_k)(c, idx_safe)
@@ -456,7 +459,8 @@ def self_consistent_field_split(basis, tol=2e-5, maxiter=60, n_bands=None,
                                 is_converged="energy",
                                 eigensolver="lobpcg", chebyshev_degree=10,
                                 chefsi_cycles=1, mixing_eps_r=None,
-                                band_chunk=None, filter_precision=None):
+                                band_chunk=None, filter_precision=None,
+                                mesh=None):
     """SCF in the realified split engine (f32, complex-free device code).
 
     Returns a dict (energies, eigenvalues (deduplicated pairs), rho, U, ...).
@@ -470,6 +474,12 @@ def self_consistent_field_split(basis, tol=2e-5, maxiter=60, n_bands=None,
     model = basis.model
     terms = basis.terms
     sd = prepare_split_data(basis, dtype=dtype)
+    if mesh is not None:
+        # k-point (x band) device-mesh parallelism: shard the term data and
+        # orbitals; XLA inserts the psum/all-gather collectives for the
+        # density / Fermi-level / Gram reductions (SURVEY.md section 2.9)
+        from ..parallel.mesh import shard_split_data
+        sd = shard_split_data(sd, mesh)
     fft_size = basis.fft_size
     volume = model.unit_cell_volume
     nspin = model.n_spin_components
@@ -493,6 +503,11 @@ def self_consistent_field_split(basis, tol=2e-5, maxiter=60, n_bands=None,
 
     rho = jnp.asarray(np.asarray(jax.device_get(guess_density(basis))),
                       dtype=dtype)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as _P
+        from ..parallel.mesh import orbital_sharding
+        U = jax.device_put(U, orbital_sharding(mesh))
+        rho = jax.device_put(rho, NamedSharding(mesh, _P()))
     symmetrizer = make_symmetrizer_split(basis, dtype) if symmetrize else None
     filled_r = model.filled_occupation / 2.0   # occupation per real vector
     temperature = model.temperature

@@ -103,6 +103,43 @@ def shard_basis(basis, mesh: Mesh):
     return basis
 
 
+def shard_split_data(sd, mesh: Mesh):
+    """Shard a SplitTermsData pytree over the mesh's "kpts" axis.
+
+    The split-real engine's analogue of shard_basis: every [nk, ...] array
+    shards over "kpts" (including the pruned-DFT scatter indices); grid
+    fields, DFT factor matrices and the nonlocal D block replicate.
+    """
+    ks = NamedSharding(mesh, P("kpts"))
+    rs = NamedSharding(mesh, P())
+
+    def put_k(arr):
+        return jax.device_put(arr, ks)
+
+    def put_r(arr):
+        return jax.device_put(arr, rs)
+
+    pruned = sd.pruned
+    if pruned is not None:
+        pruned = pruned._replace(
+            Gidx_c=put_k(pruned.Gidx_c),
+            Ff=tuple((put_r(c), put_r(s)) for c, s in pruned.Ff),
+            Fb=tuple((put_r(c), put_r(s)) for c, s in pruned.Fb))
+    return sd._replace(
+        vloc_static=put_r(sd.vloc_static),
+        hartree_coeffs=put_r(sd.hartree_coeffs),
+        P_split=put_k(sd.P_split), D=put_r(sd.D),
+        kin=put_k(sd.kin), Gidx=put_k(sd.Gidx), mask=put_k(sd.mask),
+        kspin=put_k(sd.kspin), kweights=put_k(sd.kweights),
+        G_cart=put_r(sd.G_cart), pruned=pruned)
+
+
+def orbital_sharding(mesh: Mesh):
+    """NamedSharding for psi/U [nk, nb, ...]: kpts x optional bands axis."""
+    band_ax = "bands" if "bands" in mesh.axis_names else None
+    return NamedSharding(mesh, P("kpts", band_ax))
+
+
 def distribute(basis, mesh: Mesh):
     """Pad + shard a basis for k-point parallel execution on `mesh`."""
     pad_basis_kpoints(basis, mesh.devices.size)

@@ -368,6 +368,9 @@ def self_consistent_field(
         else:
             converged = E_prev is not None and abs(E_total - E_prev) < tol
         E_prev = E_total
+        # keep the freshest iterate before any early exit (a timeout on the
+        # very first iteration must not leave info unset)
+        info = (rho_out, eigvals, occ, epsF, energies, E_const, V_out)
         if maxtime is not None and time.time() - t0 > maxtime:
             break
 
@@ -385,7 +388,11 @@ def self_consistent_field(
                     from ..ops.eigen.lobpcg import ortho_qr as _oq
                     psi = _oq(psi)
                     nb_total = nb_total_new
-        info = (rho_out, eigvals, occ, epsF, energies, E_const, V_out)
+                    if exx_occ is not None:
+                        # new bands are unoccupied by construction; keep the
+                        # exchange/Hubbard occupation in sync with psi's width
+                        exx_occ = jnp.pad(jnp.asarray(exx_occ),
+                                          ((0, 0), (0, extra)))
         if converged:
             rho = rho_out
             break

@@ -32,12 +32,18 @@ def load_native():
         return None
     build_dir = os.path.join(root, "build")
     os.makedirs(build_dir, exist_ok=True)
-    lib_path = os.path.join(build_dir, "libdftk_native.so")
-    if (not os.path.exists(lib_path)
-            or os.path.getmtime(lib_path) < os.path.getmtime(src)):
+    # name the library after the source content hash: stale binaries can
+    # never shadow newer csrc (mtimes are unreliable after git checkout),
+    # and we build portable code (no -march=native) since this runs only
+    # at setup time
+    import hashlib
+    with open(src, "rb") as fh:
+        tag = hashlib.sha256(fh.read()).hexdigest()[:12]
+    lib_path = os.path.join(build_dir, f"libdftk_native-{tag}.so")
+    if not os.path.exists(lib_path):
         try:
             subprocess.run(
-                ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+                ["g++", "-O3", "-shared", "-fPIC",
                  "-std=c++17", src, "-o", lib_path],
                 check=True, capture_output=True)
         except (subprocess.CalledProcessError, FileNotFoundError):

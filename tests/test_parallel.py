@@ -41,6 +41,34 @@ def test_sharded_scf_matches_single_device():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_split_scf_matches_single_device():
+    """The PRODUCTION multi-chip path: split-real engine SCF sharded over a
+    2D kpts x bands mesh equals the unsharded split run (f64 here)."""
+    from jax.sharding import Mesh
+    from dftk_tpu.ops.engine_split import self_consistent_field_split
+
+    basis1 = _make_basis()
+    res1 = self_consistent_field_split(basis1, tol=1e-10, maxiter=25,
+                                       n_bands=6, dtype=jnp.float64, seed=5)
+
+    basis8 = _make_basis()
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(4, 2),
+                axis_names=("kpts", "bands"))
+    with mesh:
+        res8 = self_consistent_field_split(basis8, tol=1e-10, maxiter=25,
+                                           n_bands=6, dtype=jnp.float64,
+                                           seed=5, mesh=mesh)
+
+    assert res1["converged"] and res8["converged"]
+    assert abs(res1["energies"]["total"] - res8["energies"]["total"]) < 1e-6
+    np.testing.assert_allclose(np.asarray(res8["rho"]),
+                               np.asarray(res1["rho"]), atol=1e-6)
+    np.testing.assert_allclose(np.sort(res8["eigenvalues"], axis=None),
+                               np.sort(res1["eigenvalues"], axis=None),
+                               atol=1e-6)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_padding_with_phantom_kpoints():
     """nk not divisible by mesh size: phantom zero-weight k-points pad it."""
     from testcases import make_silicon_model, silicon
