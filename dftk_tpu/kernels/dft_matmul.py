@@ -77,6 +77,39 @@ def _as_jnp(F):
     return (jnp.asarray(F[0]), jnp.asarray(F[1]))
 
 
+def realified_factor(Mr, Mi):
+    """Realified tensor [m, 2, n, 2] of a complex matrix M = Mr + i Mi [m, n].
+
+    One real dot_general contracting a split array's (spatial, re/im) axis
+    pair against dims (0, 1) of this tensor equals the complex contraction
+    y[b] = sum_a M[a, b] x[a] - i.e. the 4 real GEMMs + stack of
+    `_axis_transform` collapse into a single MXU contraction with twice the
+    K/N extents (the classic complex->real embedding [[Mr, Mi], [-Mi, Mr]]).
+    """
+    m, n = Mr.shape
+    F2 = np.empty((m, 2, n, 2), dtype=Mr.dtype)
+    F2[:, 0, :, 0] = Mr
+    F2[:, 0, :, 1] = Mi
+    F2[:, 1, :, 0] = -Mi
+    F2[:, 1, :, 1] = Mr
+    return F2
+
+
+def cdft_axis(x, F2, axis, precision=None):
+    """Complex DFT along `axis` of a split array x [..., 2] via ONE real
+    dot_general with the realified factor F2 [m, 2, n, 2].
+
+    The contracted axis pair (axis, -1) is removed and (n, 2) appended: the
+    transformed axis lands LAST (before the re/im axis).  Chaining over the
+    three spatial axes therefore cycles the layout; callers track the
+    resulting (reversed) spatial order.
+    """
+    nd = x.ndim
+    return jax.lax.dot_general(
+        x, F2, (((axis % nd, nd - 1), (0, 1)), ((), ())),
+        precision=precision)
+
+
 def dft3_real_input(x, sign=-1):
     """3D DFT of a real array [..., n1, n2, n3] -> split-complex [..., 2]."""
     return dft3(jnp.stack([x, jnp.zeros_like(x)], axis=-1), sign)

@@ -67,15 +67,19 @@ def gather_cube_split(cube, Gidx, mask):
 class PrunedFFT(NamedTuple):
     """Pruned matmul-DFT data: the G-sphere occupies only a subset of the
     grid indices along each axis, so the sphere->real transform contracts
-    rectangular DFT matrices F[n_a, m_a] over the occupied planes only -
-    fewer FLOPs AND an (m1*m2*m3)-sized scatter cube instead of the full
-    grid (the matmul-DFT analogue of classic plane-wave FFT pruning)."""
+    rectangular DFT matrices over the occupied planes only - fewer FLOPs
+    AND an (m1*m2*m3)-sized scatter cube instead of the full grid (the
+    matmul-DFT analogue of classic plane-wave FFT pruning).  The factors
+    are stored REALIFIED ([m, 2, n, 2], kernels/dft_matmul.realified_factor)
+    so each axis transform is ONE real dot_general with K = 2 m_a instead
+    of 4 separate small-K GEMMs plus stack/moveaxis HBM passes."""
     Gidx_c: jnp.ndarray      # [nk, nG] flat index into the compact cube
-    Ff: tuple                # 3 x (cos [n_a, m_a], sin): compact -> full
-    Fb: tuple                # 3 x (cos [m_a, n_a], sin): full -> compact
+    Ff: tuple                # 3 x [m_a, 2, n_a, 2]: compact -> full (e^{+i})
+    Fb: tuple                # 3 x [n_a, 2, m_a, 2]: full -> compact (e^{-i}/n_a)
 
 
 def build_pruned_fft(basis, dtype=jnp.float32):
+    from ..kernels.dft_matmul import realified_factor
     fft_size = basis.fft_size
     idx = basis.Gidx_np                            # [nk, nG] flat full-cube
     iaxes = np.unravel_index(idx, fft_size)        # 3 x [nk, nG]
@@ -90,15 +94,16 @@ def build_pruned_fft(basis, dtype=jnp.float32):
     Gidx_c = ((poss[0][iaxes[0]] * m[1] + poss[1][iaxes[1]]) * m[2]
               + poss[2][iaxes[2]]).astype(np.int32)
 
+    npdt = np.dtype(jnp.dtype(dtype).name)
     Ff, Fb = [], []
     for a in range(3):
         n = fft_size[a]
-        r = np.arange(n)
-        phase = 2 * np.pi * np.outer(r, sels[a]) / n     # [n_a, m_a]
-        Ff.append((jnp.asarray(np.cos(phase), dtype=dtype),
-                   jnp.asarray(np.sin(phase), dtype=dtype)))
-        Fb.append((jnp.asarray(np.cos(phase).T, dtype=dtype),
-                   jnp.asarray(-np.sin(phase).T, dtype=dtype)))
+        phase = 2 * np.pi * np.outer(sels[a], np.arange(n)) / n  # [m_a, n_a]
+        cos, sin = np.cos(phase).astype(npdt), np.sin(phase).astype(npdt)
+        Ff.append(jnp.asarray(realified_factor(cos, sin)))
+        # backward carries the 1/n_a normalization so the inverse transform
+        # needs no separate scaling pass over the full cube
+        Fb.append(jnp.asarray(realified_factor(cos.T / n, -sin.T / n)))
     return PrunedFFT(Gidx_c=jnp.asarray(Gidx_c), Ff=tuple(Ff), Fb=tuple(Fb))
 
 
@@ -123,27 +128,32 @@ def _scatter_compact(xy, Gidx_c, mask, m_shape):
 
 
 def sphere_to_real_pruned(xy, pf: PrunedFFT, mask, precision=None):
-    """coeffs [nk,nb,nG,2] -> real-space cube [nk,nb,n1,n2,n3,2]
-    (== dft3(scatter_cube_split(...), sign=+1))."""
-    from ..kernels.dft_matmul import _axis_transform, as_precision
+    """coeffs [nk,nb,nG,2] -> real-space cube in REVERSED spatial layout
+    [nk,nb,n3,n2,n1,2] (== transpose of dft3(scatter_cube_split(...), +1)).
+
+    Each axis transform is one dot_general contracting the (axis, re/im)
+    pair against the realified factor; the transformed axis lands last, so
+    three chained transforms reverse the spatial order - callers keep the
+    potential/density in (z, y, x) layout rather than paying a transpose.
+    """
+    from ..kernels.dft_matmul import as_precision, cdft_axis
     prec = as_precision(precision)
-    m_shape = tuple(F[0].shape[1] for F in pf.Ff)
+    m_shape = tuple(F.shape[0] for F in pf.Ff)
     x = _scatter_compact(xy, pf.Gidx_c, mask, m_shape)
-    x = _axis_transform(x, pf.Ff[2], -1, prec)
-    x = _axis_transform(x, pf.Ff[1], -2, prec)
-    x = _axis_transform(x, pf.Ff[0], -3, prec)
-    return x
+    x = cdft_axis(x, pf.Ff[2], 4, prec)      # [k,nb,m1,m2,n3,2]
+    x = cdft_axis(x, pf.Ff[1], 3, prec)      # [k,nb,m1,n3,n2,2]
+    return cdft_axis(x, pf.Ff[0], 2, prec)   # [k,nb,n3,n2,n1,2]
 
 
-def real_to_sphere_pruned(cube, pf: PrunedFFT, mask, fft_size,
+def real_to_sphere_pruned(cube_rev, pf: PrunedFFT, mask, fft_size,
                           precision=None):
-    """real cube -> sphere coeffs (== gather(dft3(cube, -1))/N)."""
-    from ..kernels.dft_matmul import _axis_transform, as_precision
+    """REVERSED-layout real cube [nk,nb,n3,n2,n1,2] -> sphere coeffs
+    (== gather(dft3(cube, -1))/N; the 1/n_a factors ride in pf.Fb)."""
+    from ..kernels.dft_matmul import as_precision, cdft_axis
     prec = as_precision(precision)
-    x = _axis_transform(cube, pf.Fb[2], -1, prec)
-    x = _axis_transform(x, pf.Fb[1], -2, prec)
-    x = _axis_transform(x, pf.Fb[0], -3, prec)
-    x = x / float(np.prod(fft_size))
+    x = cdft_axis(cube_rev, pf.Fb[0], 4, prec)   # [k,nb,n3,n2,m1,2]
+    x = cdft_axis(x, pf.Fb[1], 3, prec)          # [k,nb,n3,m1,m2,2]
+    x = cdft_axis(x, pf.Fb[2], 2, prec)          # [k,nb,m1,m2,m3,2]
     flat = x.reshape(x.shape[:2] + (-1, 2))
     out = jax.vmap(lambda f, idx: f[:, idx, :])(flat, pf.Gidx_c)
     return out * mask[:, None, :, None]
@@ -165,12 +175,16 @@ def apply_H_split(ham: Ham, U, fft_size, volume, band_chunk=None,
     Vk = ham.V[ham.kspin]                                  # [nk, n1,n2,n3]
 
     pf = ham.fft_pruned
+    if pf is not None:
+        # the pruned chain works in reversed (z, y, x) spatial layout;
+        # transposing V once per apply is negligible next to the band arrays
+        Vk_rev = jnp.transpose(Vk, (0, 3, 2, 1))
 
     def local_block(xy_blk):
         if pf is not None:
             psir = sphere_to_real_pruned(xy_blk, pf, ham.mask,
                                          precision=precision)
-            vpsir = Vk[:, None, :, :, :, None] * psir
+            vpsir = Vk_rev[:, None, :, :, :, None] * psir
             return real_to_sphere_pruned(vpsir, pf, ham.mask, fft_size,
                                          precision=precision)
         cube = scatter_cube_split(xy_blk, ham.Gidx, ham.mask, fft_size)
@@ -280,11 +294,14 @@ def compute_density_split(sd: SplitTermsData, U, occupation, fft_size, volume,
     def dens_block(args):
         xy_blk, w_blk = args
         if sd.pruned is not None:
+            # reversed (z,y,x) layout out of the pruned chain; transpose the
+            # small accumulated grid once per block, not the band arrays
             psir = sphere_to_real_pruned(xy_blk, sd.pruned, sd.mask) \
                 / math.sqrt(volume)
-        else:
-            cube = scatter_cube_split(xy_blk, sd.Gidx, sd.mask, fft_size)
-            psir = dft3(cube, sign=+1) / math.sqrt(volume)
+            d = jnp.einsum("kn,knzyx->kzyx", w_blk, abs2(psir))
+            return jnp.transpose(d, (0, 3, 2, 1))
+        cube = scatter_cube_split(xy_blk, sd.Gidx, sd.mask, fft_size)
+        psir = dft3(cube, sign=+1) / math.sqrt(volume)
         return jnp.einsum("kn,knxyz->kxyz", w_blk, abs2(psir))
 
     nb = xy.shape[1]

@@ -123,8 +123,8 @@ def shard_split_data(sd, mesh: Mesh):
     if pruned is not None:
         pruned = pruned._replace(
             Gidx_c=put_k(pruned.Gidx_c),
-            Ff=tuple((put_r(c), put_r(s)) for c, s in pruned.Ff),
-            Fb=tuple((put_r(c), put_r(s)) for c, s in pruned.Fb))
+            Ff=tuple(put_r(F) for F in pruned.Ff),
+            Fb=tuple(put_r(F) for F in pruned.Fb))
     return sd._replace(
         vloc_static=put_r(sd.vloc_static),
         hartree_coeffs=put_r(sd.hartree_coeffs),
