@@ -76,6 +76,16 @@ class PrunedFFT(NamedTuple):
     Gidx_c: jnp.ndarray      # [nk, nG] flat index into the compact cube
     Ff: tuple                # 3 x [m_a, 2, n_a, 2]: compact -> full (e^{+i})
     Fb: tuple                # 3 x [n_a, 2, m_a, 2]: full -> compact (e^{-i}/n_a)
+    Fblk_f: tuple = ()       # 3 x [2m_a, 2n_a] block form [[C,S],[-S,C]]
+    Fblk_b: tuple = ()       # 3 x [2n_a, 2m_a] block form of the backward
+    inv_idx: Any = None      # [nk, m1*m2*m3] sphere index per compact cell
+    #   (nG = "read a zero" slot).  XLA:TPU scatters serialize; the inverse
+    #   map turns sphere->cube placement into a vectorized gather instead.
+
+
+def _block_factor(cos, sin):
+    """[[C, S], [-S, C]] block embedding for (r||i)-concatenated operands."""
+    return np.block([[cos, sin], [-sin, cos]])
 
 
 def build_pruned_fft(basis, dtype=jnp.float32):
@@ -83,28 +93,46 @@ def build_pruned_fft(basis, dtype=jnp.float32):
     fft_size = basis.fft_size
     idx = basis.Gidx_np                            # [nk, nG] flat full-cube
     iaxes = np.unravel_index(idx, fft_size)        # 3 x [nk, nG]
-    sels, poss = [], []
+    sels, poss, m = [], [], []
     for a in range(3):
         sel = np.unique(iaxes[a])                  # sorted occupied indices
         pos = np.full(fft_size[a], -1, dtype=np.int64)
         pos[sel] = np.arange(len(sel))
         sels.append(sel)
         poss.append(pos)
-    m = [len(sel) for sel in sels]
+        # pad the compact extent to a multiple of 8 (TPU sublane): the pad
+        # cells are never scattered into and their factor rows are zero
+        m.append(-(-len(sel) // 8) * 8)
     Gidx_c = ((poss[0][iaxes[0]] * m[1] + poss[1][iaxes[1]]) * m[2]
               + poss[2][iaxes[2]]).astype(np.int32)
 
     npdt = np.dtype(jnp.dtype(dtype).name)
-    Ff, Fb = [], []
+    Ff, Fb, Bf, Bb = [], [], [], []
     for a in range(3):
         n = fft_size[a]
         phase = 2 * np.pi * np.outer(sels[a], np.arange(n)) / n  # [m_a, n_a]
-        cos, sin = np.cos(phase).astype(npdt), np.sin(phase).astype(npdt)
+        cos = np.zeros((m[a], n), dtype=npdt)
+        sin = np.zeros((m[a], n), dtype=npdt)
+        cos[:len(sels[a])] = np.cos(phase)
+        sin[:len(sels[a])] = np.sin(phase)
         Ff.append(jnp.asarray(realified_factor(cos, sin)))
         # backward carries the 1/n_a normalization so the inverse transform
         # needs no separate scaling pass over the full cube
         Fb.append(jnp.asarray(realified_factor(cos.T / n, -sin.T / n)))
-    return PrunedFFT(Gidx_c=jnp.asarray(Gidx_c), Ff=tuple(Ff), Fb=tuple(Fb))
+        Bf.append(jnp.asarray(_block_factor(cos, sin)))
+        Bb.append(jnp.asarray(_block_factor(cos.T / n, -sin.T / n)))
+
+    # inverse placement map: compact cell -> sphere slot (nG = zero pad).
+    # Only real (mask > 0) sphere slots participate; everything else reads 0.
+    nk, nG = idx.shape
+    Ncomp = m[0] * m[1] * m[2]
+    inv = np.full((nk, Ncomp), nG, dtype=np.int32)
+    live = basis.mask_np > 0
+    for k in range(nk):
+        inv[k, Gidx_c[k, live[k]]] = np.nonzero(live[k])[0]
+    return PrunedFFT(Gidx_c=jnp.asarray(Gidx_c), Ff=tuple(Ff), Fb=tuple(Fb),
+                     Fblk_f=tuple(Bf), Fblk_b=tuple(Bb),
+                     inv_idx=jnp.asarray(inv))
 
 
 def _scatter_compact(xy, Gidx_c, mask, m_shape):
@@ -127,6 +155,17 @@ def _scatter_compact(xy, Gidx_c, mask, m_shape):
     return flat.reshape(c.shape[:2] + tuple(m_shape) + (2,))
 
 
+def _place_compact(xy, pf: PrunedFFT, m_shape):
+    """Sphere coeffs -> compact cube via the precomputed INVERSE map: a
+    vectorized gather (each compact cell reads its sphere slot or the zero
+    pad).  XLA:TPU lowers scatters near-serially - the gather formulation
+    measured ~5x faster on v5e (tools/bench_stages.py)."""
+    pad = jnp.zeros(xy.shape[:2] + (1, 2), xy.dtype)
+    padded = jnp.concatenate([xy, pad], axis=2)
+    flat = jax.vmap(lambda p, inv: p[:, inv, :])(padded, pf.inv_idx)
+    return flat.reshape(xy.shape[:2] + tuple(m_shape) + (2,))
+
+
 def sphere_to_real_pruned(xy, pf: PrunedFFT, mask, precision=None):
     """coeffs [nk,nb,nG,2] -> real-space cube in REVERSED spatial layout
     [nk,nb,n3,n2,n1,2] (== transpose of dft3(scatter_cube_split(...), +1)).
@@ -139,7 +178,10 @@ def sphere_to_real_pruned(xy, pf: PrunedFFT, mask, precision=None):
     from ..kernels.dft_matmul import as_precision, cdft_axis
     prec = as_precision(precision)
     m_shape = tuple(F.shape[0] for F in pf.Ff)
-    x = _scatter_compact(xy, pf.Gidx_c, mask, m_shape)
+    if pf.inv_idx is not None:
+        x = _place_compact(xy, pf, m_shape)
+    else:
+        x = _scatter_compact(xy, pf.Gidx_c, mask, m_shape)
     x = cdft_axis(x, pf.Ff[2], 4, prec)      # [k,nb,m1,m2,n3,2]
     x = cdft_axis(x, pf.Ff[1], 3, prec)      # [k,nb,m1,n3,n2,2]
     return cdft_axis(x, pf.Ff[0], 2, prec)   # [k,nb,n3,n2,n1,2]
@@ -159,14 +201,32 @@ def real_to_sphere_pruned(cube_rev, pf: PrunedFFT, mask, fft_size,
     return out * mask[:, None, :, None]
 
 
+def _pallas_enabled(pallas):
+    """Pallas fused-local policy: explicit flag > env > off.
+
+    Measured on v5e (tools/bench_fused_micro.py): the per-band VMEM-resident
+    kernel loses to the streamed XLA dot_general chain because Mosaic's
+    in-VMEM transposes run at near-HBM speed, so the fused kernel stays an
+    opt-in (DFTK_TPU_PALLAS=1)."""
+    import os
+    if pallas is not None:
+        return pallas
+    env = os.environ.get("DFTK_TPU_PALLAS")
+    if env is not None:
+        return env not in ("0", "false", "False")
+    return False
+
+
 def apply_H_split(ham: Ham, U, fft_size, volume, band_chunk=None,
-                  precision=None):
+                  precision=None, pallas=None, band_tile=1):
     """Realified H apply: U [nk, nbr, 2nG] -> [nk, nbr, 2nG].
 
     band_chunk: process the FFT-heavy local part in chunks of this many
     real band-vectors (bounds the cube-space working set on HBM).
     precision: matmul precision for the DFT contractions and projector
     GEMMs ('default' = fast single-pass bf16; None = session default).
+    pallas: run the local chain as the fused VMEM-resident Pallas kernel
+    (kernels/fused_local.py); None = auto (on for TPU backends).
     """
     nG = ham.kin.shape[1]
     xy = jnp.stack([U[..., :nG], U[..., nG:]], axis=-1)   # [nk, nbr, nG, 2]
@@ -179,6 +239,28 @@ def apply_H_split(ham: Ham, U, fft_size, volume, band_chunk=None,
         # the pruned chain works in reversed (z, y, x) spatial layout;
         # transposing V once per apply is negligible next to the band arrays
         Vk_rev = jnp.transpose(Vk, (0, 3, 2, 1))
+
+    if pf is not None and _pallas_enabled(pallas):
+        from ..kernels.fused_local import (fused_local_apply,
+                                           gather_compact_sep,
+                                           place_compact_sep,
+                                           scatter_compact_sep)
+        m_shape = tuple(F.shape[0] for F in pf.Ff)
+        if pf.inv_idx is not None:
+            xr_c = place_compact_sep(xy[..., 0], pf.inv_idx, m_shape)
+            xi_c = place_compact_sep(xy[..., 1], pf.inv_idx, m_shape)
+        else:
+            xr_c = scatter_compact_sep(xy[..., 0], pf.Gidx_c, ham.mask,
+                                       m_shape)
+            xi_c = scatter_compact_sep(xy[..., 1], pf.Gidx_c, ham.mask,
+                                       m_shape)
+        yr_c, yi_c = fused_local_apply(xr_c, xi_c, Vk_rev, pf,
+                                       precision=precision,
+                                       band_tile=band_tile)
+        loc_part = jnp.stack(
+            [gather_compact_sep(yr_c, pf.Gidx_c, ham.mask),
+             gather_compact_sep(yi_c, pf.Gidx_c, ham.mask)], axis=-1)
+        return _assemble_H_out(ham, xy, kin_part, loc_part, precision)
 
     def local_block(xy_blk):
         if pf is not None:
@@ -207,6 +289,10 @@ def apply_H_split(ham: Ham, U, fft_size, volume, band_chunk=None,
         loc_part = jnp.moveaxis(res, 0, 1).reshape(
             xy.shape[0], nblk * band_chunk, nG, 2)[:, :nb]
 
+    return _assemble_H_out(ham, xy, kin_part, loc_part, precision)
+
+
+def _assemble_H_out(ham: Ham, xy, kin_part, loc_part, precision=None):
     out = kin_part + loc_part
     if ham.P.shape[-2] > 0:
         Pd = _pdag_psi(ham.P, xy, precision=precision)     # P^dag psi

@@ -123,8 +123,12 @@ def shard_split_data(sd, mesh: Mesh):
     if pruned is not None:
         pruned = pruned._replace(
             Gidx_c=put_k(pruned.Gidx_c),
+            inv_idx=(put_k(pruned.inv_idx)
+                     if pruned.inv_idx is not None else None),
             Ff=tuple(put_r(F) for F in pruned.Ff),
-            Fb=tuple(put_r(F) for F in pruned.Fb))
+            Fb=tuple(put_r(F) for F in pruned.Fb),
+            Fblk_f=tuple(put_r(F) for F in pruned.Fblk_f),
+            Fblk_b=tuple(put_r(F) for F in pruned.Fblk_b))
     return sd._replace(
         vloc_static=put_r(sd.vloc_static),
         hartree_coeffs=put_r(sd.hartree_coeffs),

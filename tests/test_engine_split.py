@@ -99,3 +99,30 @@ def test_chefsi_filter_precision_path():
                                      filter_precision="highest")
     assert r1["converged"] and r2["converged"]
     assert abs(r1["energies"]["total"] - r2["energies"]["total"]) < 1e-7
+
+
+def test_pallas_fused_local_matches_xla(si_setup):
+    """The fused Pallas local-apply kernel (interpret mode on CPU) equals
+    the XLA dot_general chain bit-for-bit at f64."""
+    basis = si_setup
+    model = basis.model
+    rho = guess_density(basis)
+    V, _ = hamops.total_potential(basis.terms, rho,
+                                  jnp.asarray(basis.G_cube_cart),
+                                  model.unit_cell_volume)
+    sd = prepare_split_data(basis, dtype=jnp.float64)
+    psi = random_orbitals(basis, 3)
+    U = realify_orbitals(psi)
+    ham = make_split_ham(sd, V)
+    H_x = apply_H_split(ham, U, basis.fft_size, model.unit_cell_volume,
+                        pallas=False)
+
+    import dftk_tpu.kernels.fused_local as fl
+    orig = fl.fused_local_apply
+    fl.fused_local_apply = lambda *a, **k: orig(*a, **{**k, "interpret": True})
+    try:
+        H_p = apply_H_split(ham, U, basis.fft_size, model.unit_cell_volume,
+                            pallas=True)
+    finally:
+        fl.fused_local_apply = orig
+    assert float(jnp.max(jnp.abs(H_p - H_x))) < 1e-12
