@@ -90,8 +90,13 @@ def chebyshev_filter(apply_A, X, degree, lb, ub, band_chunk=None):
 
 def chefsi_step(apply_A, X, mask, degree=8, lb=None, ub=None,
                 n_conv=None, lb_margin=0.05, cycles=1, apply_filter=None,
-                band_chunk=None):
+                band_chunk=None, csplit=False):
     """Filter + orthonormalise + Rayleigh-Ritz cycles.
+
+    csplit=True: X rows are realified COMPLEX bands (x; y) - the Chebyshev
+    recurrence is complex-linear so the filter is unchanged, but the
+    orthonormalisation and Rayleigh-Ritz use the complex-structured algebra
+    (ops/eigen/csplit.py) so each physical band costs ONE apply.
 
     The damping window is [lb, ub]: everything ABOVE the wanted spectrum.
     lb defaults to the Ritz value at index n_conv (the first unwanted
@@ -131,14 +136,27 @@ def chefsi_step(apply_A, X, mask, degree=8, lb=None, ub=None,
 
         Y = chebyshev_filter(apply_filter, X, degree, lb_cur, ub,
                              band_chunk=band_chunk) * mask[:, None, :]
-        Y = ortho_qr(Y)
-        AY = apply_A(Y)
-        Hred = _inner(Y, AY)
-        Hred = (Hred + Hred.conj().swapaxes(1, 2)) / 2
-        theta, C = jnp.linalg.eigh(Hred)
-        X = _rotate(C, Y)
-        AX_new = _rotate(C, AY)
-        theta = theta.real
+        if csplit:
+            from .csplit import cgram, ceigh_pairs, crotate, ortho_qr_csplit
+            Y = ortho_qr_csplit(Y)
+            AY = apply_A(Y)
+            Hr, Hi = cgram(Y, AY)
+            pert = 1e4 * float(jnp.finfo(Y.dtype).eps)
+            theta, (Cr, Ci) = ceigh_pairs(Hr, Hi, perturb=pert)
+            X = crotate(Cr, Ci, Y)
+            AX_new = crotate(Cr, Ci, AY)
+            # exact Rayleigh quotients (ceigh's pair-splitting ramp biases
+            # its eigenvalues by up to ~1e4 eps |H|)
+            theta = jnp.einsum("kng,kng->kn", X, AX_new)
+        else:
+            Y = ortho_qr(Y)
+            AY = apply_A(Y)
+            Hred = _inner(Y, AY)
+            Hred = (Hred + Hred.conj().swapaxes(1, 2)) / 2
+            theta, C = jnp.linalg.eigh(Hred)
+            X = _rotate(C, Y)
+            AX_new = _rotate(C, AY)
+            theta = theta.real
 
     R = AX_new - theta[:, :, None].astype(X.dtype) * X
     res = jnp.linalg.norm(R, axis=-1)

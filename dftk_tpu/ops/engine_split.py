@@ -563,10 +563,15 @@ def self_consistent_field_split(basis, tol=2e-5, maxiter=60, n_bands=None,
                                 eigensolver="lobpcg", chebyshev_degree=10,
                                 chefsi_cycles=1, mixing_eps_r=None,
                                 band_chunk=None, filter_precision=None,
-                                mesh=None):
+                                mesh=None, band_repr="complex"):
     """SCF in the realified split engine (f32, complex-free device code).
 
-    Returns a dict (energies, eigenvalues (deduplicated pairs), rho, U, ...).
+    band_repr: "complex" (default) iterates nb complex bands as realified
+    vectors with the J-adapted eigensolvers (ops/eigen/csplit.py) - ONE
+    H apply per physical band; "paired" uses the round-1 doubled-real
+    space (2 nb real vectors, plain real eigensolvers, 2 applies/band).
+
+    Returns a dict (energies, eigenvalues, rho, U, ...).
     """
     import time as _time
     t0 = _time.time()
@@ -592,7 +597,14 @@ def self_consistent_field_split(basis, tol=2e-5, maxiter=60, n_bands=None,
         n_bands = model.default_n_bands()
     if n_extra_bands is None:
         n_extra_bands = max(3, n_bands // 10)
-    nbr = 2 * (n_bands + n_extra_bands)
+    paired = band_repr != "complex"
+    mult = 2 if paired else 1
+    nbr = mult * (n_bands + n_extra_bands)
+    if mesh is not None and "bands" in mesh.axis_names:
+        # band-axis sharding needs nbr divisible by the axis size; extra
+        # vectors are just more unoccupied bands
+        bsz = mesh.shape["bands"]
+        nbr = -(-nbr // bsz) * bsz
 
     mask2 = jnp.concatenate([sd.mask, sd.mask], axis=-1)
     kin2 = jnp.concatenate([sd.kin, sd.kin], axis=-1)
@@ -612,7 +624,9 @@ def self_consistent_field_split(basis, tol=2e-5, maxiter=60, n_bands=None,
         U = jax.device_put(U, orbital_sharding(mesh))
         rho = jax.device_put(rho, NamedSharding(mesh, _P()))
     symmetrizer = make_symmetrizer_split(basis, dtype) if symmetrize else None
-    filled_r = model.filled_occupation / 2.0   # occupation per real vector
+    # occupation per iterated vector: a "paired" real vector carries f/2,
+    # a csplit complex band carries the full f
+    filled_r = model.filled_occupation / mult
     temperature = model.temperature
     smearing = model.smearing
 
@@ -633,11 +647,16 @@ def self_consistent_field_split(basis, tol=2e-5, maxiter=60, n_bands=None,
                     ham, u, fft_size, volume, band_chunk=band_chunk,
                     precision=filter_precision)
             res = chefsi_step(A, U_in, mask2_, degree=chebyshev_degree,
-                              n_conv=2 * n_bands, cycles=chefsi_cycles,
-                              apply_filter=A_fast, band_chunk=band_chunk)
-        else:
+                              n_conv=mult * n_bands, cycles=chefsi_cycles,
+                              apply_filter=A_fast, band_chunk=band_chunk,
+                              csplit=not paired)
+        elif paired:
             res = lobpcg(A, U_in, kin2_, mask2_, tol=diagtol,
                          maxiter=eigensolver_maxiter, n_conv=2 * n_bands)
+        else:
+            from .eigen.lobpcg_csplit import lobpcg_csplit
+            res = lobpcg_csplit(A, U_in, kin2_, mask2_, tol=diagtol,
+                                maxiter=eigensolver_maxiter, n_conv=n_bands)
         occ, epsF = compute_occupation(res.eigenvalues, sd_.kweights,
                                        model.n_electrons, filled_r,
                                        temperature, smearing)
@@ -718,7 +737,9 @@ def self_consistent_field_split(basis, tol=2e-5, maxiter=60, n_bands=None,
     energies_out.update(E_const)
     energies_out["total"] = float(sum(energies_out.values()))
     ev = np.sort(np.asarray(jax.device_get(eigvals)), axis=1)
-    return dict(energies=energies_out, eigenvalues=ev[:, ::2], U=U,
+    if paired:
+        ev = ev[:, ::2]                 # deduplicate the spectrum pairing
+    return dict(energies=energies_out, eigenvalues=ev, U=U,
                 rho=rho_out, epsF=float(epsF), converged=converged,
                 n_iter=it + 1, history=history, basis=basis,
                 runtime_s=_time.time() - t0)

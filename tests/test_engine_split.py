@@ -126,3 +126,19 @@ def test_pallas_fused_local_matches_xla(si_setup):
     finally:
         fl.fused_local_apply = orig
     assert float(jnp.max(jnp.abs(H_p - H_x))) < 1e-12
+
+
+def test_paired_band_repr_matches_csplit(si_setup):
+    """The round-1 doubled-real representation stays available and agrees
+    with the default csplit (J-adapted complex band) representation."""
+    basis = si_setup
+    res_c = self_consistent_field_split(basis, tol=1e-9, maxiter=40,
+                                        n_bands=8, dtype=jnp.float64,
+                                        diagtol_min=1e-7)
+    res_p = self_consistent_field_split(basis, tol=1e-9, maxiter=40,
+                                        n_bands=8, dtype=jnp.float64,
+                                        diagtol_min=1e-7, band_repr="paired")
+    assert res_c["converged"] and res_p["converged"]
+    assert abs(res_c["energies"]["total"] - res_p["energies"]["total"]) < 1e-8
+    assert np.max(np.abs(res_c["eigenvalues"][:, :8]
+                         - res_p["eigenvalues"][:, :8])) < 1e-5

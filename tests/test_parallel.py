@@ -63,8 +63,10 @@ def test_sharded_split_scf_matches_single_device():
     assert abs(res1["energies"]["total"] - res8["energies"]["total"]) < 1e-6
     np.testing.assert_allclose(np.asarray(res8["rho"]),
                                np.asarray(res1["rho"]), atol=1e-6)
-    np.testing.assert_allclose(np.sort(res8["eigenvalues"], axis=None),
-                               np.sort(res1["eigenvalues"], axis=None),
+    # the bands-sharded run may carry extra padding bands; compare the
+    # physically requested ones
+    np.testing.assert_allclose(np.sort(res8["eigenvalues"][:, :6], axis=None),
+                               np.sort(res1["eigenvalues"][:, :6], axis=None),
                                atol=1e-6)
 
 
