@@ -75,7 +75,9 @@ def main():
                                                    model.unit_cell_volume))(rho)
     ham = make_split_ham(sd, V)
 
-    nbr = 2 * nb
+    # csplit band representation (production default): ONE realified
+    # vector per complex band (round 1 used 2; see ops/eigen/csplit.py)
+    nbr = nb
     key = jax.random.PRNGKey(0)
     mask2 = jnp.concatenate([sd.mask, sd.mask], axis=-1)
     U = jax.random.normal(key, (basis.n_kpoints, nbr, 2 * basis.nG_max),
@@ -99,7 +101,7 @@ def main():
     jax.block_until_ready(f(ham, U))
     dt = time.time() - t0
 
-    # one realified band-vector pair == one complex band apply
+    # one realified vector == one complex band apply (csplit repr)
     applies = n_iter * basis.n_kpoints * nb
     value = applies / dt
     print(json.dumps({
