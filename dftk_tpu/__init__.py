@@ -11,7 +11,7 @@ Importing this package enables float64 (required for DFT accuracy).
 from . import config  # noqa: F401  (sets jax_enable_x64)
 
 from .models.model import Model
-from .models.standard import (LDA, PBE, PBE0, PBEsol, model_DFT,
+from .models.standard import (HSE06, LDA, PBE, PBE0, PBEsol, model_DFT,
                               model_atomic, model_HF)
 from .models.elements import (ElementCoulomb, ElementGaussian, ElementPsp,
                               atomic_symbol)

@@ -64,6 +64,32 @@ def PBE0(lattice, atoms, positions, **kwargs):
                  term_types=terms, **kwargs)
 
 
+def HSE06(lattice, atoms, positions, omega=0.11, exx_fraction=0.25, **kwargs):
+    """HSE06 screened hybrid (Heyd-Scuseria-Ernzerhof, erfc-split Coulomb):
+
+      Exc = Ex_PBE - a * Ex_wPBE_SR(omega) + a * Ex_HF_SR(omega) + Ec_PBE
+
+    with a = 0.25, omega = 0.11 bohr^-1.  The short-range semilocal exchange
+    uses the HJS omega-PBE hole model; the short-range Fock term reuses the
+    ExactExchange machinery with an erfc-screened kernel (Gamma-only, like
+    the reference src/terms/exact_exchange.jl:52).  As omega -> 0 this
+    approaches PBE0 up to the (small) HJS-vs-PBE hole-model difference.
+    Reference: src/standard_models.jl:163-166.
+    """
+    from ..ops.coulomb import ShortRangeCoulomb
+    from ..ops.terms import ExactExchange, Xc
+    from ..ops.xc.functionals import make_gga_x_wpbeh
+    terms = _base_terms(kwargs.get("temperature", 0.0)) + [
+        Xc((("gga_x_pbe", 1.0),
+            (make_gga_x_wpbeh(omega), -exx_fraction),
+            ("gga_c_pbe", 1.0))),
+        ExactExchange(scaling_factor=exx_fraction,
+                      kernel=ShortRangeCoulomb(mu=omega)),
+    ]
+    return Model(lattice=lattice, atoms=list(atoms), positions=list(positions),
+                 term_types=terms, **kwargs)
+
+
 def model_HF(lattice, atoms, positions, **kwargs):
     """Hartree-Fock: no XC, full exact exchange (Gamma-only)."""
     from ..ops.terms import ExactExchange

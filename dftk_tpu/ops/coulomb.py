@@ -15,10 +15,17 @@ import numpy as np
 
 @dataclasses.dataclass(frozen=True)
 class Coulomb:
-    """Bare 4 pi / G^2 with a probe-charge DC regularisation."""
+    """Bare 4 pi / G^2 with a probe-charge DC regularisation.
+
+    v0 overrides the G=0 element (reference ReplaceSingularity); used e.g.
+    to compare hybrids across G=0 conventions in tests.
+    """
+    v0: float = None
 
     def fourier(self, Gsq, volume):
         out = np.where(Gsq > 0, 4 * math.pi / np.where(Gsq > 0, Gsq, 1.0), 0.0)
+        if self.v0 is not None:
+            return np.where(Gsq > 0, out, self.v0)
         # probe-charge regularisation: the q->0 average of 4pi/q^2 over the
         # volume element each k/G point represents:
         #   v(0) ~ 4 pi * alpha, alpha = (3/(4 pi^2)) (6 pi^2 / Omega)^{-2/3}...

@@ -262,6 +262,97 @@ def _scan_wrapper(rho, sigma, tau=None):
     return scan_energy(rho, sigma, tau)
 
 
+def _r2scan_wrapper(rho, sigma, tau=None):
+    from .mgga import r2scan_energy
+    return r2scan_energy(rho, sigma, tau)
+
+
+# ---------------------------------------------------------------------------
+# HJS omega-PBE short-range exchange (gga_x_wpbeh)
+# ---------------------------------------------------------------------------
+# Henderson, Janesko, Scuseria, J. Chem. Phys. 128, 194105 (2008): analytic
+# erfc-screened exchange from a model PBE hole.  Used by HSE-type hybrids
+# (reference src/standard_models.jl:163-166 dispatches :hyb_gga_xc_hse06 to
+# libxc; here the enhancement factor is evaluated in closed form).
+#
+# The model-hole shape function H(s) uses the HJS rational form; its
+# coefficients are REFIT here (the published table is not available in this
+# environment) to the paper's design target: F(s, nu=0) reproduces the PBE
+# enhancement factor.  The refit matches PBE to ~1e-5 for s in [0, 30].
+#
+# Exact limits (verified in tests/test_xc.py): F(s=0, nu) equals the analytic
+# erfc-screened LDA attenuation (model-hole accuracy ~1%); F(s, nu->0) equals
+# PBE; F(s, nu->inf) -> 0.
+
+_HJS_A = 0.757211
+_HJS_B = -0.106364
+_HJS_C = -0.118649
+_HJS_D = 0.609650
+# zeta(s) = s^2 H(s), H(s) = (a1 s^2 + ... + a6 s^7)/(1 + b1 s + ... + b9 s^9)
+_HJS_HA = (0.01539809, -0.03415762, 0.03319737, -0.01392621, -0.0003318682,
+           0.002161391)
+_HJS_HB = (-2.61897, 3.066503, -2.046006, 0.8732485, -0.2491473, 0.04988374,
+           -0.003572147, -0.0001762652, 0.001713341)
+
+
+def _hjs_fx_sr(s, nu):
+    """HJS short-range enhancement factor F(s, nu), nu = omega / kF > 0."""
+    # clip: zeta(s) is flat beyond s ~ 30, and s^9 overflows f32 for huge s
+    # (vacuum regions where rho hits its floor)
+    s = jnp.minimum(jnp.asarray(s), 50.0)
+    num = sum(a * s ** (i + 4) for i, a in enumerate(_HJS_HA))
+    den = 1.0 + sum(b * s ** (i + 1) for i, b in enumerate(_HJS_HB))
+    # zeta(s) = s^2 H(s); floored: sqrt(zeta) below needs zeta > 0 for a
+    # finite AD gradient (the clamp zeroes the gradient on the floored side)
+    zet = jnp.maximum(num / den, 1e-30)
+    eta = _HJS_A + zet
+    lam = _HJS_D + zet
+    F = 1.0 - s ** 2 / (27.0 * _HJS_C * (1.0 + s ** 2 / 4.0)) \
+        - zet / (2.0 * _HJS_C)
+    EG = (-(2.0 / 5.0) * _HJS_C * F * lam
+          - (4.0 / 15.0) * _HJS_B * lam ** 2
+          - (6.0 / 5.0) * _HJS_A * lam ** 3
+          - (4.0 / 5.0) * math.sqrt(math.pi) * lam ** 3.5
+          - (12.0 / 5.0) * lam ** 3.5 * (jnp.sqrt(zet) - jnp.sqrt(eta)))
+
+    nu2 = nu ** 2
+    chi = nu / jnp.sqrt(lam + nu2)
+    szl = jnp.sqrt(zet + nu2)
+    sel = jnp.sqrt(eta + nu2)
+    sll = jnp.sqrt(lam + nu2)
+    return (_HJS_A
+            - (4.0 / 9.0) * _HJS_B / lam * (1.0 - chi)
+            - (4.0 / 9.0) * _HJS_C * F / lam ** 2
+            * (1.0 - 1.5 * chi + 0.5 * chi ** 3)
+            - (8.0 / 9.0) * EG / lam ** 3
+            * (1.0 - 1.875 * chi + 1.25 * chi ** 3 - 0.375 * chi ** 5)
+            + 2.0 * nu * (szl - sel)
+            + 2.0 * zet * jnp.log((nu + szl) / (nu + sll))
+            - 2.0 * eta * jnp.log((nu + sel) / (nu + sll)))
+
+
+def _wpbeh_unpol(rho, sigma, omega):
+    r = _safe_rho(rho)
+    kf = (3 * math.pi ** 2 * r) ** (1 / 3)
+    s = jnp.sqrt(jnp.maximum(sigma, 1e-30) / _den_floor((2 * kf * r) ** 2))
+    nu = omega / kf
+    return _CX * r ** (4 / 3) * _hjs_fx_sr(s, nu)
+
+
+def make_gga_x_wpbeh(omega=0.11):
+    """Short-range (erfc-screened) omega-PBE exchange functional."""
+    if not omega > 0:
+        raise ValueError("gga_x_wpbeh needs omega > 0 (use gga_x_pbe at 0)")
+    def energy(rho, sigma):
+        nspin = rho.shape[0]
+        if nspin == 1:
+            return _wpbeh_unpol(rho[0], sigma[0], omega)
+        ea = _wpbeh_unpol(2 * rho[0], 4 * sigma[0], omega)
+        eb = _wpbeh_unpol(2 * rho[1], 4 * sigma[2], omega)
+        return (ea + eb) / 2
+    return Functional(f"gga_x_wpbeh@{omega:g}", "gga", energy)
+
+
 FUNCTIONALS = {
     "lda_x": Functional("lda_x", "lda", lda_x_energy),
     "lda_c_vwn": Functional("lda_c_vwn", "lda", lda_c_vwn_energy),
@@ -272,6 +363,8 @@ FUNCTIONALS = {
     "gga_x_pbe_sol": Functional("gga_x_pbe_sol", "gga", gga_x_pbe_sol_energy),
     "gga_c_pbe_sol": Functional("gga_c_pbe_sol", "gga", gga_c_pbe_sol_energy),
     "mgga_x_scan": Functional("mgga_x_scan", "mgga", _scan_wrapper),
+    "mgga_x_r2scan": Functional("mgga_x_r2scan", "mgga", _r2scan_wrapper),
+    "gga_x_wpbeh": make_gga_x_wpbeh(0.11),
 }
 
 # Named functional sets mirroring DFTK standard_models.jl:163-166
@@ -279,8 +372,9 @@ FUNCTIONAL_SETS = {
     "LDA": ("lda_x", "lda_c_pw"),
     "PBE": ("gga_x_pbe", "gga_c_pbe"),
     "PBEsol": ("gga_x_pbe_sol", "gga_c_pbe_sol"),
-    # SCAN's exchange + correlation are evaluated together (shared alpha)
+    # SCAN/r2SCAN exchange + correlation are evaluated together (shared alpha)
     "SCAN": ("mgga_x_scan",),
+    "r2SCAN": ("mgga_x_r2scan",),
 }
 
 
@@ -297,5 +391,6 @@ def resolve_functionals(functionals):
             name, scale = entry
         else:
             name, scale = entry, 1.0
-        out.append((FUNCTIONALS[name], float(scale)))
+        fun = name if isinstance(name, Functional) else FUNCTIONALS[name]
+        out.append((fun, float(scale)))
     return out

@@ -1,4 +1,5 @@
-"""Meta-GGA functionals: SCAN (Sun-Ruzsinszky-Perdew, PRL 115, 036402 (2015)).
+"""Meta-GGA functionals: SCAN (Sun-Ruzsinszky-Perdew, PRL 115, 036402 (2015))
+and r2SCAN (Furness-Kaplan-Ning-Perdew-Sun, JPCL 11, 8208 (2020)).
 
 Pure jnp, differentiable: the tau-potential (the DivAgrad operator
 coefficient) and the density potential both come from jax.grad of the energy
@@ -7,10 +8,14 @@ coefficient) and the density potential both come from jax.grad of the energy
 
 Signature convention: energy(rho, sigma, tau) -> energy density per volume,
 rho/tau [nspin, ...], sigma [1 or 3, ...] like the GGA functionals.
-All formulas transcribed from the published SCAN paper + supplement.
+All formulas transcribed from the published SCAN / r2SCAN papers; the r2SCAN
+second-order gradient-expansion restoration coefficients C2x/C2c are derived
+from the interpolation polynomials at import time (they satisfy f(1)=0
+exactly, a check in tests/test_scan.py).
 """
 import math
 
+import jax
 import jax.numpy as jnp
 
 from .functionals import (_CX, _den_floor, _f_zeta, _pw_eps,
@@ -134,4 +139,151 @@ def scan_energy(rho, sigma, tau):
         / jnp.maximum(ds_z * tau_unif, 1e-30)
 
     ec = _scan_ec(rs, zeta, s2, alpha)
+    return ex + rho_tot * ec
+
+
+# ===========================================================================
+# r2SCAN (Furness, Kaplan, Ning, Perdew, Sun, JPCL 11, 8208 (2020))
+# ===========================================================================
+# Regularizations vs SCAN: alpha-bar = (tau - tauW)/(tauU + eta tauW),
+# polynomial alpha-interpolation (from rSCAN) for 0 <= a <= 2.5, and damped
+# correction terms restoring the 2nd-order gradient expansion (GE2) that the
+# interpolation would otherwise spoil.
+
+_R2_ETA = 0.001
+_R2_DP2 = 0.361
+# C_eta: slope of (1 - alpha-bar) vs p in the slowly-varying limit
+_R2_CETA = 20.0 / 27.0 + 5.0 * _R2_ETA / 3.0
+
+# rSCAN interpolation polynomials f(a) = sum_i c_i a^i (f(1) = 0 exactly)
+_R2_FX_POLY = (1.0, -0.667, -0.4445555, -0.663086601049, 1.451297044490,
+               -0.887998041597, 0.234528941479, -0.023185843322)
+_R2_FC_POLY = (1.0, -0.64, -0.4352, -1.535685604549, 3.061560252175,
+               -1.915710236206, 0.516884468372, -0.051848879792)
+
+
+def _poly_interp(alpha, coeffs, c2, d):
+    """r2SCAN interpolation: polynomial for a < 2.5, damped exp beyond."""
+    a = jnp.clip(alpha, 0.0, 1e10)
+    lo = sum(c * a ** i for i, c in enumerate(coeffs))
+    da = jnp.where(a > 2.5, 1.0 - a, -1.0)
+    hi = -d * jnp.exp(c2 / jnp.where(a > 2.5, jnp.minimum(da, -1e-14), -1.0))
+    return jnp.where(a < 2.5, lo, hi)
+
+
+def _poly_df1(coeffs):
+    """f'(1) of the interpolation polynomial (exact, at import time)."""
+    return sum(i * c for i, c in enumerate(coeffs))
+
+
+# GE2-restoring coefficients, derived so that the O(p) contamination of the
+# interpolation term cancels on the slowly-varying manifold a = 1 - C_eta p
+# (r2SCAN paper eqs. 9, 24: C2x = -(h0x - 1) |fx'(1)| = -0.162742...,
+#  C2c follows from fc'(1) = -0.711403...).
+_R2_DFX1 = _poly_df1(_R2_FX_POLY)          # -0.9353001...
+_R2_DFC1 = _poly_df1(_R2_FC_POLY)          # -0.7114032...
+_R2_C2X = (_SX_HX0 - 1.0) * _R2_DFX1       # -0.162742...
+
+
+def _r2scan_fx_unpol(rho, sigma, tau):
+    """r2SCAN exchange enhancement * LDA exchange for one spin channel."""
+    r = _safe_rho(rho)
+    sig = jnp.maximum(sigma, 1e-30)
+    t = jnp.maximum(tau, 0.0)
+
+    kf = (3 * math.pi ** 2 * r) ** (1.0 / 3.0)
+    p = sig / _den_floor((2 * kf * r) ** 2)
+    tau_unif = 0.3 * (3 * math.pi ** 2) ** (2.0 / 3.0) * r ** (5.0 / 3.0)
+    tau_w = sig / (8 * r)
+    abar = jnp.maximum(t - tau_w, 0.0) \
+        / jnp.maximum(tau_unif + _R2_ETA * tau_w, 1e-30)
+
+    # x depends on p only; the damped C2x term restores GE2 (paper eq. 9)
+    damp = jnp.exp(-p ** 2 / _R2_DP2 ** 4)
+    x = (_R2_CETA * _R2_C2X * damp + _SX_MU) * p
+    h1x = 1 + _SX_K1 - _SX_K1 / (1 + x / _SX_K1)
+    gx = 1 - jnp.exp(-_SX_A1 / jnp.maximum(p, 1e-30) ** 0.25)
+    fx = _poly_interp(abar, _R2_FX_POLY, _SX_C2, _SX_D)
+    Fx = (h1x + fx * (_SX_HX0 - h1x)) * gx
+    return _CX * r ** (4.0 / 3.0) * Fx
+
+
+def _eclda0(rs):
+    """LDA0 correlation (alpha->0 limit fit) and its rs-derivative."""
+    den = 1 + _SC_B2C * jnp.sqrt(rs) + _SC_B3C * rs
+    e = -_SC_B1C / den
+    de = _SC_B1C * (0.5 * _SC_B2C / jnp.sqrt(rs) + _SC_B3C) / den ** 2
+    return e, de
+
+
+def _r2scan_ec(rs, zeta, p, abar):
+    """r2SCAN correlation energy per particle."""
+    phi = ((1 + zeta) ** (2.0 / 3.0) + (1 - zeta) ** (2.0 / 3.0)) / 2
+    dx_z = ((1 + zeta) ** (4.0 / 3.0) + (1 - zeta) ** (4.0 / 3.0)) / 2
+    ds_z = ((1 + zeta) ** (5.0 / 3.0) + (1 - zeta) ** (5.0 / 3.0)) / 2
+    Gc = (1 - 2.3631 * (dx_z - 1)) * (1 - zeta ** 12)
+
+    # --- eps_c^0 (alpha -> 0), same as SCAN --------------------------------
+    eclda0, declda0 = _eclda0(rs)
+    w0 = jnp.expm1(-eclda0 / _SC_B1C)
+    ginf = (1 + 4 * _SC_CHI_INF * p) ** (-0.25)
+    H0 = _SC_B1C * jnp.log1p(w0 * (1 - ginf))
+    ec0 = (eclda0 + H0) * Gc
+
+    # --- eps_c^1 with the GE2-restoring Delta-y correction ------------------
+    eps_lsda, deps_lsda = jax.jvp(lambda r_: _pw_eps(r_, zeta), (rs,),
+                                  (jnp.ones_like(rs),))
+    beta = 0.066725 * (1 + 0.1 * rs) / (1 + 0.1778 * rs)
+    t2 = (3 * math.pi ** 2 / 16.0) ** (2.0 / 3.0) * p \
+        / jnp.maximum(phi ** 2 * rs, 1e-30)
+    w1 = jnp.expm1(-eps_lsda / (_SC_GAMMA * phi ** 3))
+    w1s = jnp.where(jnp.abs(w1) > 1e-12, w1, 1e-12)
+    y = beta / (_SC_GAMMA * w1s) * t2
+
+    # Delta-y (paper eq. 25): cancels the O(p) term of fc(a)(ec0 - ec1) on
+    # the slowly-varying manifold; damped like the exchange correction.
+    damp = jnp.exp(-p ** 2 / _R2_DP2 ** 4)
+    dy = _R2_DFC1 / (27 * _SC_GAMMA * ds_z * phi ** 3 * w1s) * (
+        20 * rs * (Gc * declda0 - deps_lsda)
+        - 45 * _R2_ETA * (ec0 - eps_lsda)) * p * damp
+
+    g_y = jnp.maximum(1 + 4 * (y - dy), 1e-6) ** (-0.25)
+    H1 = _SC_GAMMA * phi ** 3 * jnp.log1p(w1 * (1 - g_y))
+    ec1 = eps_lsda + H1
+
+    fc = _poly_interp(abar, _R2_FC_POLY, _SC_C2, _SC_D)
+    return ec1 + fc * (ec0 - ec1)
+
+
+def r2scan_energy(rho, sigma, tau):
+    """r2SCAN XC energy density per volume.
+
+    rho/tau: [nspin, grid]; sigma: [1 or 3, grid].  Mirrors the reference's
+    libxc :mgga_x_r2scan/:mgga_c_r2scan dispatch (src/DispatchFunctional.jl).
+    """
+    nspin = rho.shape[0]
+    if nspin == 1:
+        ex = _r2scan_fx_unpol(rho[0], sigma[0], tau[0])
+        rho_tot = _safe_rho(rho[0])
+        sig_tot = jnp.maximum(sigma[0], 1e-30)
+        tau_tot = jnp.maximum(tau[0], 0.0)
+        zeta = jnp.zeros_like(rho_tot)
+    else:
+        ex = (_r2scan_fx_unpol(2 * rho[0], 4 * sigma[0], 2 * tau[0])
+              + _r2scan_fx_unpol(2 * rho[1], 4 * sigma[2], 2 * tau[1])) / 2
+        rho_tot = _safe_rho(rho[0] + rho[1])
+        sig_tot = jnp.maximum(sigma[0] + 2 * sigma[1] + sigma[2], 1e-30)
+        tau_tot = jnp.maximum(tau[0] + tau[1], 0.0)
+        zeta = jnp.clip((rho[0] - rho[1]) / rho_tot, -1 + 1e-12, 1 - 1e-12)
+
+    rs = _rs_from_rho(rho_tot)
+    kf = (3 * math.pi ** 2 * rho_tot) ** (1.0 / 3.0)
+    p = sig_tot / _den_floor((2 * kf * rho_tot) ** 2)
+    tau_unif = 0.3 * (3 * math.pi ** 2) ** (2.0 / 3.0) * rho_tot ** (5.0 / 3.0)
+    ds_z = ((1 + zeta) ** (5.0 / 3.0) + (1 - zeta) ** (5.0 / 3.0)) / 2
+    tau_w = sig_tot / (8 * rho_tot)
+    abar = jnp.maximum(tau_tot - tau_w, 0.0) \
+        / jnp.maximum(ds_z * tau_unif + _R2_ETA * tau_w, 1e-30)
+
+    ec = _r2scan_ec(rs, zeta, p, abar)
     return ex + rho_tot * ec

@@ -96,14 +96,20 @@ def _nonlocal_energy(basis, psi, occupation, positions):
     return E
 
 
-_FF_CACHE = {}
-
-
 def _projector_form_factors(basis, psp):
-    """Per-atom-type projector form factors (no structure factor), cached."""
-    key = (id(basis), psp.identifier)
-    if key in _FF_CACHE:
-        return _FF_CACHE[key]
+    """Per-atom-type projector form factors (no structure factor), cached.
+
+    The cache lives on the basis instance (not a module-level dict keyed on
+    id(basis): ids are reused after garbage collection, which silently
+    returned stale form factors of a dead basis with a different k-count).
+    """
+    cache = getattr(basis, "_ff_cache", None)
+    if cache is None:
+        cache = {}
+        object.__setattr__(basis, "_ff_cache", cache)
+    key = psp.identifier
+    if key in cache:
+        return cache[key]
     Gpk = basis.Gpk_cart_np
     Gpk_norm = np.linalg.norm(Gpk, axis=-1)
     Y = solid_harmonics_real(Gpk, psp.lmax)
@@ -126,7 +132,7 @@ def _projector_form_factors(basis, psp):
             D[col - nproj_l:col, col - nproj_l:col] = h
     ff *= basis.mask_np[:, :, None]
     out = (jnp.asarray(ff), jnp.asarray(D))
-    _FF_CACHE[key] = out
+    cache[key] = out
     return out
 
 
