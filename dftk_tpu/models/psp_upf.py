@@ -101,6 +101,58 @@ def _unique_eval(fn, p):
     return fn(uniq)[inv].reshape(p.shape)
 
 
+def _is_np(x):
+    """True for numpy/scalar inputs (static path); False for jax values."""
+    return isinstance(x, (np.ndarray, float, int, np.floating, np.integer))
+
+
+def _hankel_traced(r, r2_f, l, psq, weights):
+    """Hankel transform 4 pi / p^l int f(r) j_l(pr) r^2 dr as a traceable
+    jnp expression of psq = p^2 (used when |G| carries lattice AD).
+
+    j_l(x)/x^l is evaluated with a small-x series switch (l <= 3 covers all
+    norm-conserving psps here); radial chunking bounds the [n_p, n_r]
+    intermediate.
+    """
+    import jax.numpy as jnp
+
+    def jl_over_xl(l, x):
+        xs = jnp.maximum(x, 1e-8)
+        x2 = x * x
+        if l == 0:
+            return jnp.where(x > 1e-4, jnp.sin(xs) / xs, 1.0 - x2 / 6)
+        if l == 1:
+            return jnp.where(x > 1e-3,
+                             (jnp.sin(xs) - xs * jnp.cos(xs)) / xs ** 3,
+                             1 / 3 - x2 / 30)
+        if l == 2:
+            return jnp.where(x > 1e-2,
+                             ((3 - xs ** 2) * jnp.sin(xs)
+                              - 3 * xs * jnp.cos(xs)) / xs ** 5,
+                             1 / 15 - x2 / 210)
+        if l == 3:
+            return jnp.where(x > 1e-2,
+                             ((15 - 6 * xs ** 2) * jnp.sin(xs)
+                              - (15 * xs - xs ** 3) * jnp.cos(xs)) / xs ** 7,
+                             1 / 105 - x2 / 1890)
+        raise NotImplementedError(f"l={l}")
+
+    r_np = np.asarray(r, dtype=float)
+    wf_np = np.asarray(weights, dtype=float) * np.asarray(r2_f, dtype=float)
+    psq = jnp.asarray(psq)
+    # floor inside sqrt: d sqrt/d psq -> inf at 0 would NaN the where-masked
+    # gradient; the clamp zeroes it instead (j_l is smooth there anyway)
+    p = jnp.sqrt(jnp.maximum(psq, 1e-30)).reshape(-1)
+    out = jnp.zeros(p.shape, dtype=p.dtype)
+    for i in range(0, len(r_np), 256):
+        rc = jnp.asarray(r_np[i:i + 256])
+        wf = jnp.asarray(wf_np[i:i + 256])
+        x = p[:, None] * rc[None, :]
+        out = out + 4 * math.pi * jnp.sum(
+            wf[None, :] * jl_over_xl(l, x) * rc[None, :] ** l, axis=1)
+    return out.reshape(psq.shape)
+
+
 def hankel(r, r2_f, l, p, weights=None):
     """Modified Hankel transform 4 pi / p^l  int f(r) j_l(pr) r^2 dr.
 
@@ -198,7 +250,27 @@ class PspUpf:
         return _unique_eval(eval_flat, p)
 
     def local_fourier_sq(self, psq):
-        return self.local_fourier(np.sqrt(np.maximum(psq, 0.0)))
+        if _is_np(psq):
+            return self.local_fourier(np.sqrt(np.maximum(psq, 0.0)))
+        # traced path (lattice AD in stresses): same QE tail-corrected
+        # transform as local_fourier, expressed in jnp
+        import jax.numpy as jnp
+        r_np = np.asarray(self._r, dtype=float)
+        wf_np = np.asarray(self._w, dtype=float) \
+            * (r_np * np.asarray(self.vloc, dtype=float)
+               + self.Zion * erf(r_np))
+        psq = jnp.asarray(psq)
+        p = jnp.sqrt(jnp.maximum(psq, 1e-30))
+        I = jnp.zeros(p.reshape(-1).shape, dtype=p.dtype)
+        pf = p.reshape(-1)
+        for i in range(0, len(r_np), 256):
+            r = jnp.asarray(r_np[i:i + 256])
+            wf = jnp.asarray(wf_np[i:i + 256])
+            I = I + jnp.sum(wf[None, :] * jnp.sin(pf[:, None] * r[None, :]),
+                            axis=1)
+        V = 4 * math.pi * (I / pf - self.Zion / pf ** 2
+                           * jnp.exp(-pf ** 2 / 4))
+        return jnp.where(psq.reshape(-1) > 1e-20, V, 0.0).reshape(psq.shape)
 
     def local_real(self, r):
         return np.interp(r, self._r, np.asarray(self.vloc))
@@ -209,7 +281,12 @@ class PspUpf:
         return hankel(self._r[:n], r2b, l, p, weights=simpson_weights(self._r[:n]))
 
     def projector_fourier_sq(self, i, l, psq):
-        return self.projector_fourier(i, l, np.sqrt(np.maximum(psq, 0.0)))
+        if _is_np(psq):
+            return self.projector_fourier(i, l, np.sqrt(np.maximum(psq, 0.0)))
+        r2b = np.asarray(self.r2_projs[l][i - 1])
+        n = len(r2b)
+        return _hankel_traced(self._r[:n], r2b, l, psq,
+                              simpson_weights(self._r[:n]))
 
     def pswfc_fourier(self, i, l, p):
         return hankel(self._r, np.asarray(self.r2_pswfcs[l][i - 1]), l, p,
@@ -222,6 +299,14 @@ class PspUpf:
     def core_density_fourier(self, p):
         return hankel(self._r, np.asarray(self.r2_rho_core), 0, p,
                       weights=self._w)
+
+    def core_density_fourier_sq(self, psq):
+        """l=0 Hankel of the core density from p^2; traceable for jax
+        inputs (used when |G| carries lattice AD, see stresses.py)."""
+        if _is_np(psq):
+            return self.core_density_fourier(np.sqrt(np.maximum(psq, 0.0)))
+        return _hankel_traced(self._r, np.asarray(self.r2_rho_core), 0,
+                              psq, self._w)
 
     def has_valence_density(self):
         return any(v != 0 for v in self.r2_rho_ion)

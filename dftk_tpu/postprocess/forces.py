@@ -23,10 +23,11 @@ from ..ops.ewald import default_eta, energy_ewald, ewald_sum_bounds
 from ..utils.special import LM_INDEX, solid_harmonics_real
 
 
-def _positions_energy(basis, psi, occupation, rho, positions):
+def _positions_energy(basis, psi, occupation, rho, positions, tau=None):
     """All explicitly position-dependent energy terms, jnp-differentiable.
 
-    positions: [n_atoms, 3] fractional (traced).
+    positions: [n_atoms, 3] fractional (traced); tau only needed for
+    meta-GGA models with NLCC psps.
     """
     model = basis.model
     terms = basis.terms
@@ -64,7 +65,47 @@ def _positions_energy(basis, psi, occupation, rho, positions):
                                       np.stack(model.positions), eta)
         E = E + energy_ewald(model.lattice, charges, positions, eta=eta,
                              Gbox=Gbox, Rbox=Rbox)
+
+    # ---- NLCC: Exc[rho_v + rho_core(positions)] ------------------------------
+    # The core density moves with the atoms, so Exc contributes a force for
+    # psps with nonlinear core correction (reference src/terms/xc.jl:200-297).
+    if terms.xc and terms.rho_core_np is not None:
+        from ..ops.hamiltonian import xc_energy
+        rho_core = _core_density_of_positions(basis, positions)
+        nspin = rho.shape[0]
+        rho_xc = rho + rho_core[None] / nspin
+        E = E + xc_energy(terms.xc, rho_xc,
+                          jnp.asarray(basis.G_cube_cart), vol,
+                          terms.xc_scaling, tau=tau)
     return E
+
+
+def _core_density_of_positions(basis, positions):
+    """NLCC core density on the real grid as a jnp function of positions.
+
+    Traced counterpart of ops/terms.py:_core_density_superposition (which is
+    static numpy): core form factors are precomputed per element, only the
+    structure factors depend on the traced positions.
+    """
+    model = basis.model
+    vol = model.unit_cell_volume
+    Gnorm = basis.G_cube_cart_norm.reshape(-1)
+    Gred = jnp.asarray(basis.G_cube.reshape(-1, 3).astype(np.float64))
+    rho_G = jnp.zeros(Gnorm.shape[0], dtype=jnp.complex128)
+    ff_cache = {}
+    for i, at in enumerate(model.atoms):
+        if not getattr(at, "has_core_density", lambda: False)():
+            continue
+        if at not in ff_cache:
+            ff_cache[at] = jnp.asarray(np.asarray(
+                at.core_density_fourier(Gnorm)))
+        phase = jnp.exp(-2j * jnp.pi * (Gred @ positions[i]))
+        rho_G = rho_G + ff_cache[at] * phase
+    rho_G = rho_G / math.sqrt(vol)
+    N = np.prod(basis.fft_size)
+    rho = jnp.fft.ifftn(rho_G.reshape(basis.fft_size)).real \
+        * (N / math.sqrt(vol))
+    return jnp.maximum(rho, 0.0)
 
 
 def _nonlocal_energy(basis, psi, occupation, positions):
@@ -140,9 +181,10 @@ def compute_forces(scfres, basis=None):
     """Forces in reduced coordinates, [n_atoms, 3] (numpy)."""
     basis = basis or scfres.basis
     positions = jnp.asarray(np.stack(basis.model.positions))
+    tau = getattr(scfres, "tau", None)
     grad = jax.grad(
         lambda pos: _positions_energy(basis, scfres.psi, scfres.occupation,
-                                      scfres.rho, pos))(positions)
+                                      scfres.rho, pos, tau=tau))(positions)
     F = -np.asarray(jax.device_get(grad))
     if basis.terms.pairwise_forces is not None:
         F = F + basis.terms.pairwise_forces

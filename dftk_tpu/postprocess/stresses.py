@@ -87,9 +87,27 @@ def energy_at_lattice(basis, psi, occupation, lattice, positions=None):
         E_H = 0.5 * terms.hartree_scaling * jnp.sum(
             coeffs * (rho_G.conj() * rho_G).real)
 
-    # --- XC --------------------------------------------------------------------
-    E_xc = xc_energy(terms.xc, rho, G_cart, vol, terms.xc_scaling) \
-        if terms.xc else jnp.asarray(0.0)
+    # --- XC (with the NLCC core density rebuilt from the traced lattice) ----
+    E_xc = jnp.asarray(0.0)
+    if terms.xc:
+        rho_xc = rho
+        if terms.rho_core_np is not None:
+            Gsq_f = jnp.sum(G_cart * G_cart, axis=-1).reshape(-1)
+            rho_core_G = jnp.zeros(Gsq_f.shape, dtype=jnp.complex128)
+            ffc = {}
+            Gred_f = jnp.asarray(basis.G_cube.reshape(-1, 3).astype(np.float64))
+            for i, at in enumerate(model.atoms):
+                if not getattr(at, "has_core_density", lambda: False)():
+                    continue
+                if at not in ffc:
+                    ffc[at] = at.psp.core_density_fourier_sq(Gsq_f)
+                phase = jnp.exp(-2j * jnp.pi * (Gred_f @ positions[i]))
+                rho_core_G = rho_core_G + ffc[at] * phase
+            rho_core = jnp.fft.ifftn(
+                (rho_core_G / sqrt_vol).reshape(fft_size)).real \
+                * (N / sqrt_vol)
+            rho_xc = rho + jnp.maximum(rho_core, 0.0)[None] / rho.shape[0]
+        E_xc = xc_energy(terms.xc, rho_xc, G_cart, vol, terms.xc_scaling)
 
     # --- AtomicLocal (p^2-form factors keep the graph smooth at G=0) --------
     Gsq_flat = Gsq.reshape(-1)
