@@ -343,6 +343,7 @@ class SplitTermsData(NamedTuple):
     kweights: jnp.ndarray
     G_cart: jnp.ndarray         # [n1,n2,n3,3]
     pruned: Any = None          # PrunedFFT or None
+    rho_core: Any = None        # NLCC core density [n1,n2,n3] or None
 
 
 def prepare_split_data(basis, dtype=jnp.float32, pruned=True):
@@ -362,6 +363,8 @@ def prepare_split_data(basis, dtype=jnp.float32, pruned=True):
         kspin=jnp.asarray(basis.kspin),
         kweights=jnp.asarray(basis.kweights, dtype=dtype),
         G_cart=jnp.asarray(basis.G_cube_cart, dtype=dtype),
+        rho_core=(None if terms.rho_core_np is None
+                  else jnp.asarray(terms.rho_core_np, dtype=dtype)),
     )
 
 
@@ -425,9 +428,14 @@ def total_potential_split(terms, sd: SplitTermsData, rho, volume):
     V = V + VH[None]
 
     if terms.xc:
+        if sd.rho_core is not None:
+            # NLCC: the XC functional sees valence + core density
+            rho_xc = rho + sd.rho_core[None] / rho.shape[0]
+        else:
+            rho_xc = rho
         exc, Vxc = jax.value_and_grad(
             lambda r: xc_energy_split(terms.xc, r, sd.G_cart, volume,
-                                      terms.xc_scaling))(rho)
+                                      terms.xc_scaling))(rho_xc)
         energies["Xc"] = exc
         V = V + Vxc / dvol
     return V, energies
@@ -741,6 +749,7 @@ def self_consistent_field_split(basis, tol=2e-5, maxiter=60, n_bands=None,
         ev = ev[:, ::2]                 # deduplicate the spectrum pairing
     return dict(energies=energies_out, eigenvalues=ev, U=U,
                 rho=rho_out, epsF=float(epsF), converged=converged,
+                occupation=occ,       # per U row (f/2 in "paired" repr)
                 n_iter=it + 1, history=history, basis=basis,
                 runtime_s=_time.time() - t0)
 

@@ -115,3 +115,61 @@ def energy_forces_ewald(lattice, charges, positions, eta=None):
     E, grad = jax.value_and_grad(
         lambda pos: energy_ewald(lattice, charges, pos, eta=eta))(positions)
     return E, -grad
+
+
+def ewald_position_gradient_np(lattice, charges, positions, eta=None,
+                               Gbox=None, Rbox=None):
+    """dE/dpositions (reduced coords) in pure numpy f64.
+
+    Analytic twin of jax.grad(energy_ewald): used by the split (chip) force
+    path, where the global x64 switch is off and the jnp Ewald would
+    silently run in f32.  Chunked over the real-space images.
+    """
+    from scipy.special import erfc as np_erfc
+    lattice = np.asarray(lattice, dtype=float)
+    charges = np.asarray(charges, dtype=float)
+    positions = np.asarray(positions, dtype=float)
+    na = len(charges)
+    if eta is None:
+        eta = default_eta(lattice)
+    if Gbox is None or Rbox is None:
+        Gbox, Rbox = ewald_sum_bounds(lattice, positions, eta)
+    recip = 2 * math.pi * np.linalg.inv(lattice.T)
+    volume = abs(np.linalg.det(lattice))
+
+    # ---- reciprocal part ---------------------------------------------------
+    G = np.asarray(Gbox, dtype=float)
+    nonzero = np.any(Gbox != 0, axis=1)
+    Gcart = G @ recip.T
+    Gsq = np.sum(Gcart * Gcart, axis=1)
+    w = np.where(nonzero, np.exp(-Gsq / (4 * eta ** 2))
+                 / np.where(nonzero, Gsq, 1.0), 0.0)        # [ng]
+    phase = 2 * math.pi * (G @ positions.T)                 # [ng, na]
+    cos_sf = np.sum(charges * np.cos(phase), axis=1)
+    sin_sf = np.sum(charges * np.sin(phase), axis=1)
+    # d|S|^2/dr_i = 4 pi q_i G (sin_sf cos(phi_i) - cos_sf sin(phi_i))
+    coef = w[:, None] * (sin_sf[:, None] * np.cos(phase)
+                         - cos_sf[:, None] * np.sin(phase))  # [ng, na]
+    grad = (4 * math.pi / volume) * 4 * math.pi \
+        * np.einsum("ga,g d->ad", coef * charges[None, :], G) / 2
+
+    # ---- real-space part ---------------------------------------------------
+    R = np.asarray(Rbox, dtype=float)
+    ZiZj = charges[:, None] * charges[None, :]
+    eye = np.eye(na, dtype=bool)
+    for i0 in range(0, len(R), 64):
+        Rc = R[i0:i0 + 64]
+        disp = (positions[:, None, :] - positions[None, :, :])[None] \
+            - Rc[:, None, None, :]                          # [nr, na, na, 3]
+        dcart = np.einsum("ab,rijb->rija", lattice, disp)
+        dsq = np.sum(dcart * dcart, axis=-1)
+        self_pair = (np.all(Rc == 0, axis=1)[:, None, None] & eye[None])
+        d = np.sqrt(np.where(self_pair, 1.0, dsq))
+        fp = -(2 * eta / math.sqrt(math.pi) * np.exp(-(eta * d) ** 2) / d
+               + np_erfc(eta * d) / d ** 2)
+        fp = np.where(self_pair, 0.0, fp)
+        # dd/dr_i (reduced) = L^T dcart / d
+        gvec = np.einsum("rij,rija,ab->ib",
+                         ZiZj[None] * fp / d, dcart, lattice)
+        grad = grad + gvec
+    return grad

@@ -135,7 +135,8 @@ def shard_split_data(sd, mesh: Mesh):
         P_split=put_k(sd.P_split), D=put_r(sd.D),
         kin=put_k(sd.kin), Gidx=put_k(sd.Gidx), mask=put_k(sd.mask),
         kspin=put_k(sd.kspin), kweights=put_k(sd.kweights),
-        G_cart=put_r(sd.G_cart), pruned=pruned)
+        G_cart=put_r(sd.G_cart), pruned=pruned,
+        rho_core=(None if sd.rho_core is None else put_r(sd.rho_core)))
 
 
 def orbital_sharding(mesh: Mesh):
