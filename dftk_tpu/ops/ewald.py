@@ -173,3 +173,49 @@ def ewald_position_gradient_np(lattice, charges, positions, eta=None,
                          ZiZj[None] * fp / d, dcart, lattice)
         grad = grad + gvec
     return grad
+
+
+def energy_ewald_np(lattice, charges, positions, eta=None,
+                    Gbox=None, Rbox=None):
+    """Ewald energy in pure numpy f64 (twin of energy_ewald; used by the
+    split/chip stress path where the global x64 switch is off)."""
+    from scipy.special import erfc as np_erfc
+    lattice = np.asarray(lattice, dtype=float)
+    charges = np.asarray(charges, dtype=float)
+    positions = np.asarray(positions, dtype=float)
+    if eta is None:
+        eta = default_eta(lattice)
+    if Gbox is None or Rbox is None:
+        Gbox, Rbox = ewald_sum_bounds(lattice, positions, eta)
+    recip = 2 * math.pi * np.linalg.inv(lattice.T)
+    volume = abs(np.linalg.det(lattice))
+
+    G = np.asarray(Gbox, dtype=float)
+    nonzero = np.any(Gbox != 0, axis=1)
+    Gcart = G @ recip.T
+    Gsq = np.sum(Gcart * Gcart, axis=1)
+    Gsq_safe = np.where(nonzero, Gsq, 1.0)
+    phase = 2 * math.pi * (G @ positions.T)
+    cos_sf = np.sum(charges * np.cos(phase), axis=1)
+    sin_sf = np.sum(charges * np.sin(phase), axis=1)
+    sf2 = cos_sf ** 2 + sin_sf ** 2
+    rec = np.where(nonzero, sf2 * np.exp(-Gsq / (4 * eta ** 2)) / Gsq_safe, 0.0)
+    sum_recip = (np.sum(rec) - np.sum(charges) ** 2 / (4 * eta ** 2)) \
+        * 4 * math.pi / volume
+
+    R = np.asarray(Rbox, dtype=float)
+    na = len(charges)
+    ZiZj = charges[:, None] * charges[None, :]
+    eye = np.eye(na, dtype=bool)
+    sum_real = -2 * eta / math.sqrt(math.pi) * np.sum(charges ** 2)
+    for i0 in range(0, len(R), 64):
+        Rc = R[i0:i0 + 64]
+        disp = (positions[:, None, :] - positions[None, :, :])[None] \
+            - Rc[:, None, None, :]
+        dcart = np.einsum("ab,rijb->rija", lattice, disp)
+        dsq = np.sum(dcart * dcart, axis=-1)
+        self_pair = (np.all(Rc == 0, axis=1)[:, None, None] & eye[None])
+        d = np.sqrt(np.where(self_pair, 1.0, dsq))
+        sum_real += np.sum(np.where(self_pair, 0.0,
+                                    ZiZj * np_erfc(eta * d) / d))
+    return (sum_recip + sum_real) / 2
