@@ -109,3 +109,33 @@ class MethfesselPaxton(SmearingFunction):
         s = sum(self._A(i) * (_hermite(x, 2 * i) / 2 + 2 * i * _hermite(x, 2 * i - 2))
                 for i in range(0, self.order + 1))
         return s * jnp.exp(-x * x)
+
+
+def occupation_divided_difference(smearing, x, y, epsF, temperature):
+    """(f(x) - f(y)) / (x - y) computed stably when x ~ y
+    (reference src/Smearing.jl:34).
+
+    f(z) = occupation((z - epsF)/T).  For |x - y| below sqrt(eps)*scale the
+    direct quotient loses all accuracy; switch to the midpoint derivative
+    (error O(h^2) for the true divided difference).  Vectorized jnp; at
+    T = 0 returns 0 for degenerate pairs and the step quotient otherwise.
+    """
+    x = jnp.asarray(x)
+    y = jnp.asarray(y)
+    if temperature == 0 or isinstance(smearing, NoSmearing):
+        fx = jnp.where(x < epsF, 1.0, 0.0)
+        fy = jnp.where(y < epsF, 1.0, 0.0)
+        d = x - y
+        return jnp.where(jnp.abs(d) > 1e-30, (fx - fy) / jnp.where(
+            jnp.abs(d) > 1e-30, d, 1.0), 0.0)
+
+    T = temperature
+    f = lambda z: smearing.occupation((z - epsF) / T)
+    fder = lambda z: smearing.occupation_derivative((z - epsF) / T) / T
+    d = x - y
+    small = jnp.abs(d) < 1e-7 * jnp.maximum(jnp.maximum(jnp.abs(x),
+                                                        jnp.abs(y)), T)
+    d_safe = jnp.where(small, 1.0, d)
+    direct = (f(x) - f(y)) / d_safe
+    mid = fder((x + y) / 2)
+    return jnp.where(small, mid, direct)

@@ -1,14 +1,28 @@
 """Si-N supercell Gamma-point SCF on the TPU chip (split engine + CheFSI).
 
 The BASELINE north-star configuration family (Si256 ~ 1024 electrons).
+Two-phase accuracy flow (VERDICT #3): the chip converges the f32 split SCF
+on a DENSITY criterion, saves the state, and a CPU x64 subprocess
+re-evaluates the total energy in f64 (variational => the f32 state error
+enters only at second order; measured 2e-11 Ha/atom on silicon).
+
 Usage: python tools/run_si_big.py [cells_x cells_y cells_z] [Ecut]
+Env: DFTK_REFINE_STATE=<npz>  (internal: phase-2 refinement subprocess)
 """
 import os, sys, time
-os.environ.setdefault("DFTK_TPU_X64", "0")
+
+_REFINE = os.environ.get("DFTK_REFINE_STATE")
+if _REFINE:
+    os.environ["DFTK_TPU_X64"] = "1"
+    os.environ["JAX_PLATFORMS"] = "cpu"
+else:
+    os.environ.setdefault("DFTK_TPU_X64", "0")
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax
+if _REFINE:
+    jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 
 cells = tuple(int(x) for x in sys.argv[1:4]) if len(sys.argv) > 3 else (2, 2, 2)
@@ -18,37 +32,76 @@ filter_precision = os.environ.get("DFTK_FILTER_PRECISION") or None
 cheb_degree = int(os.environ.get("DFTK_CHEB_DEGREE", "10"))
 cheb_cycles = int(os.environ.get("DFTK_CHEB_CYCLES", "2"))
 max_iter = int(os.environ.get("DFTK_MAXITER", "40"))
+tol_drho = float(os.environ.get("DFTK_TOL_DRHO", "2e-6"))
 
 import dftk_tpu as dftk
 from dftk_tpu.supercell import create_supercell
 from dftk_tpu.ops.engine_split import self_consistent_field_split
 
-a = 10.263141334305942           # conventional cubic Si lattice (bohr)
-conv_lattice = np.eye(3) * a
-Si = dftk.ElementPsp.from_symbol("Si", psp="lda/si-q4")
-conv_pos = [np.array(p) for p in
-            [[0, 0, 0], [.5, .5, 0], [.5, 0, .5], [0, .5, .5],
-             [.25, .25, .25], [.75, .75, .25], [.75, .25, .75], [.25, .75, .75]]]
-sc = create_supercell(conv_lattice, [Si] * 8, conv_pos, cells)
-natoms = len(sc["atoms"])
-print(f"Si{natoms}: {natoms*4} electrons, cells={cells}, Ecut={Ecut}", flush=True)
+
+def build_basis():
+    a = 10.263141334305942       # conventional cubic Si lattice (bohr)
+    conv_lattice = np.eye(3) * a
+    Si = dftk.ElementPsp.from_symbol("Si", psp="lda/si-q4")
+    conv_pos = [np.array(p) for p in
+                [[0, 0, 0], [.5, .5, 0], [.5, 0, .5], [0, .5, .5],
+                 [.25, .25, .25], [.75, .75, .25], [.75, .25, .75],
+                 [.25, .75, .75]]]
+    sc = create_supercell(conv_lattice, [Si] * 8, conv_pos, cells)
+    model = dftk.model_DFT(sc["lattice"], sc["atoms"], sc["positions"],
+                           functionals=["lda_x", "lda_c_vwn"],
+                           symmetries=False)
+    return dftk.PlaneWaveBasis(model, Ecut=Ecut, kgrid=(1, 1, 1))
+
+
+if _REFINE:
+    # ---- phase 2: f64 refinement on CPU ------------------------------------
+    basis = build_basis()
+    d = np.load(_REFINE)
+    from dftk_tpu.scf.energy_eval import refine_split_energy
+    res = dict(U=d["U"], occupation=d["occ"], eigenvalues=d["ev"],
+               epsF=float(d["epsF"]))
+    E = refine_split_energy(basis, res)
+    natoms = len(basis.model.atoms)
+    print(f"REFINED Si{natoms}: E = {E['total']:.10f} Ha "
+          f"({E['total']/natoms:.10f} Ha/atom)", flush=True)
+    sys.exit(0)
 
 t0 = time.time()
-model = dftk.model_DFT(sc["lattice"], sc["atoms"], sc["positions"],
-                       functionals=["lda_x", "lda_c_vwn"], symmetries=False)
-basis = dftk.PlaneWaveBasis(model, Ecut=Ecut, kgrid=(1, 1, 1))
+basis = build_basis()
+natoms = len(basis.model.atoms)
+print(f"Si{natoms}: {natoms*4} electrons, cells={cells}, Ecut={Ecut}",
+      flush=True)
 print(f"basis: fft={basis.fft_size} nG={basis.nG_max} "
       f"(setup {time.time()-t0:.0f}s)", flush=True)
 
 nb = natoms * 2 + max(8, natoms // 4)      # n_occ + extra
 res = self_consistent_field_split(
-    basis, tol=5e-7 * natoms, maxiter=max_iter, n_bands=natoms * 2,
-    n_extra_bands=nb - natoms * 2, eigensolver="chefsi", chebyshev_degree=cheb_degree,
+    basis, tol=tol_drho, maxiter=max_iter, n_bands=natoms * 2,
+    n_extra_bands=nb - natoms * 2, eigensolver="chefsi",
+    chebyshev_degree=cheb_degree,
     chefsi_cycles=cheb_cycles, mixing_eps_r=12.0, damping=0.6,
-    band_chunk=256, is_converged="energy", filter_precision=filter_precision,
+    band_chunk=256, is_converged="density",
+    filter_precision=filter_precision,
     callback=lambda i: print(f"  it={i['n_iter']} E={i['E']:.6f} "
                              f"drho={i['drho']:.2e} [{time.time()-t0:.0f}s]",
                              flush=True))
 print(f"FINAL Si{natoms}: E = {res['energies']['total']:.6f} Ha "
       f"({res['energies']['total']/natoms:.6f} Ha/atom), converged="
       f"{res['converged']}, wall = {time.time()-t0:.0f}s", flush=True)
+
+# ---- save state + phase-2 f64 refinement in a CPU x64 subprocess ----------
+state_path = os.environ.get("DFTK_STATE_PATH", "/tmp/si_big_state.npz")
+np.savez(state_path,
+         U=np.asarray(jax.device_get(res["U"]), dtype=np.float32),
+         occ=np.asarray(jax.device_get(res["occupation"])),
+         ev=np.asarray(res["eigenvalues"]), epsF=res["epsF"])
+print(f"state saved to {state_path}; refining in CPU x64 subprocess...",
+      flush=True)
+import subprocess
+env = dict(os.environ, DFTK_REFINE_STATE=state_path)
+env.pop("JAX_PLATFORMS", None)
+t1 = time.time()
+subprocess.run([sys.executable, os.path.abspath(__file__)]
+               + [str(c) for c in cells] + [str(Ecut)], env=env, check=False)
+print(f"refinement wall: {time.time()-t1:.0f}s", flush=True)
