@@ -505,7 +505,7 @@ def make_symmetrizer_split(basis, dtype=jnp.float32):
     return symmetrize
 
 
-def make_mix_step(mixer, m_hist, damping):
+def make_mix_step(mixer, m_hist):
     """One-jit-program mixing update for the split SCF loop.
 
     On remote-execution backends every eager jnp op is its own round trip,
@@ -513,13 +513,17 @@ def make_mix_step(mixer, m_hist, damping):
     iteration time.  This rolls preconditioning + fixed-size ring-buffer
     Anderson + the residual norm into a single jitted function:
 
-        rho_new, histX, histF, cnt, drho = mix_step(rho, rho_out,
-                                                    histX, histF, cnt)
+        rho_new, histX, histF, cnt, drho = mix_step(rho, rho_out, histX,
+                                                    histF, cnt, damping,
+                                                    mix_param)
+
+    damping and mix_param (e.g. the dielectric eps_r) are traced scalars,
+    so the host-side autopilot can adjust them without recompiling.
     """
-    def mix_step(rho, rho_out, histX, histF, cnt):
+    def mix_step(rho, rho_out, histX, histF, cnt, damping, mix_param):
         delta_F = rho_out - rho
         drho = jnp.linalg.norm(delta_F)
-        f = mixer(delta_F) if mixer is not None else delta_F
+        f = mixer(delta_F, mix_param) if mixer is not None else delta_F
 
         x = rho
         xnext = x + damping * f
@@ -685,12 +689,20 @@ def self_consistent_field_split(basis, tol=2e-5, maxiter=60, n_bands=None,
         sd, kin2, mask2, rho_in, U_in, diagtol)
     if use_kerker is None:
         use_kerker = model.temperature > 0
+    # autopilot (VERDICT #10): insulating systems of a few dozen atoms or
+    # more default to dielectric mixing with a Penn-model eps_r estimated
+    # from the first iteration's spectrum -- no hand-tuned flags needed
+    auto_eps = (mixing_eps_r == "auto"
+                or (mixing_eps_r is None and not use_kerker
+                    and len(model.atoms) >= 12))
+    if auto_eps:
+        mixing_eps_r = 1.0   # placeholder until the first spectrum arrives
     if mixing_eps_r is not None:
         # dielectric mixing: 1/eps(G) screening with model eps_r (silicon ~12)
         kTF = 0.8
-        factor = (kTF ** 2 + Gsq) / (mixing_eps_r * kTF ** 2 + Gsq)
 
-        def dielectric_mix(delta_F):
+        def dielectric_mix(delta_F, eps_r):
+            factor = (kTF ** 2 + Gsq) / (eps_r * kTF ** 2 + Gsq)
             total = jnp.sum(delta_F, axis=0)
             mixed = idft3_real_output(factor[..., None]
                                       * dft3_real_input(total, sign=-1))
@@ -700,14 +712,14 @@ def self_consistent_field_split(basis, tol=2e-5, maxiter=60, n_bands=None,
             return jnp.stack([(mixed + spin) / 2, (mixed - spin) / 2])
         mixer = dielectric_mix
     elif use_kerker:
-        mixer = partial(kerker_mix_split, Gsq=Gsq)
+        mixer = lambda delta_F, _p: kerker_mix_split(delta_F, Gsq=Gsq)
     else:
         mixer = None
 
     # the whole mixing update (preconditioner + Anderson + residual norm)
     # is ONE jitted program per iteration; eager op-by-op mixing costs a
     # remote round trip per op on tunneled backends
-    mix_step = make_mix_step(mixer, anderson_depth, damping)
+    mix_step = make_mix_step(mixer, anderson_depth)
     histX = jnp.zeros((anderson_depth,) + tuple(rho.shape), dtype=rho.dtype)
     histF = jnp.zeros_like(histX)
     hist_cnt = jnp.asarray(0)
@@ -715,23 +727,49 @@ def self_consistent_field_split(basis, tol=2e-5, maxiter=60, n_bands=None,
     E_prev, converged, diagtol = None, False, diagtol_max
     history = []
     info = None
+    damping_cur = float(damping)
+    eps_r_cur = float(mixing_eps_r) if mixing_eps_r is not None else 0.0
+    n_E_up = 0
     for it in range(maxiter):
         rho_out, U, eigvals, occ, epsF, energies = scf_step(rho, U, diagtol)
         E_const = {"Ewald": terms.E_ewald,
                    "PspCorrection": terms.E_psp_correction}
+        if auto_eps and it == 0:
+            # Penn model: eps_r ~ 1 + (omega_p / mean direct gap)^2 from the
+            # first spectrum (omega_p^2 = 4 pi n in a.u.); clamped to a
+            # practical window.  Traced parameter: no recompilation.
+            ev_h = np.sort(np.asarray(jax.device_get(eigvals)), axis=1)
+            n_occ_b = max(1, int(round(model.n_electrons
+                                       / (filled_r * mult))))
+            gaps = ev_h[:, mult * n_occ_b] - ev_h[:, mult * n_occ_b - 1]
+            mean_gap = max(float(np.mean(gaps)), 1e-3)
+            omega_p2 = 4 * math.pi * model.n_electrons / volume
+            eps_r_cur = float(np.clip(1 + omega_p2 / mean_gap ** 2, 2.0,
+                                      40.0))
         rho_mixed, histX, histF, hist_cnt, drho_dev = mix_step(
-            rho, rho_out, histX, histF, hist_cnt)
+            rho, rho_out, histX, histF, hist_cnt,
+            jnp.asarray(damping_cur, dtype=rho.dtype),
+            jnp.asarray(eps_r_cur, dtype=rho.dtype))
         # ONE batched host fetch per iteration
         energies_h, drho_h = jax.device_get((energies, drho_dev))
         E_total = float(sum(energies_h.values()) + sum(E_const.values()))
         drho = float(drho_h) * math.sqrt(dvol)
         history.append((E_total, drho))
         if callback:
-            callback(dict(n_iter=it + 1, E=E_total, drho=drho))
+            callback(dict(n_iter=it + 1, E=E_total, drho=drho,
+                          damping=damping_cur, eps_r=eps_r_cur))
         if is_converged == "density":
             converged = drho < tol
         else:
             converged = E_prev is not None and abs(E_total - E_prev) < tol
+        # damping backoff: repeated energy increases signal overshooting
+        if E_prev is not None and E_total > E_prev + 1e-10:
+            n_E_up += 1
+            if n_E_up >= 2:
+                damping_cur = max(0.2, 0.7 * damping_cur)
+                n_E_up = 0
+        else:
+            n_E_up = 0
         E_prev = E_total
         info = (rho_out, eigvals, occ, epsF, energies, E_const)
         if converged:

@@ -83,3 +83,25 @@ def test_fermi_level_methfessel_paxton():
         occ, epsF = compute_occupation(evals, w, 8, 2.0, 0.01, smear)
         n = float(jnp.sum(w[:, None] * occ))
         assert abs(n - 8.0) < 1e-8, smear
+
+
+@pytest.mark.slow
+def test_iron_pbe_golden():
+    """ABINIT reference for spin-polarized iron PBE (reference
+    test/iron_pbe.jl:49): Ecut=20, fft 20^3, MP(4,4,4) shifted grid.
+    Like the reference, PBE runs on the largecore LDA GTH psp (Fe-q8)."""
+    from testcases import iron_bcc
+    Fe = dftk.ElementPsp.from_symbol("Fe", psp=iron_bcc["psp"])
+    model = dftk.model_DFT(iron_bcc["lattice"], [Fe], iron_bcc["positions"],
+                           functionals="PBE", temperature=0.01,
+                           spin_polarization="collinear")
+    basis = dftk.PlaneWaveBasis(
+        model, Ecut=20.0, fft_size=(20,) * 3,
+        kgrid=dftk.MonkhorstPack((4, 4, 4), (0.5, 0.5, 0.5)))
+    rho0 = guess_density(basis, magnetic_moments=[4.0])
+    scfres = dftk.self_consistent_field(basis, tol=1e-10, rho=rho0,
+                                        n_bands=10, maxiter=80)
+    assert scfres.converged
+    assert abs(scfres.total_energy - (-18.21465922614397)) < 1e-5
+    magn = float(jnp.sum(scfres.rho[0] - scfres.rho[1]) * basis.dvol)
+    assert abs(magn - 2.98199463) < 5e-4

@@ -80,7 +80,8 @@ res = self_consistent_field_split(
     basis, tol=tol_drho, maxiter=max_iter, n_bands=natoms * 2,
     n_extra_bands=nb - natoms * 2, eigensolver="chefsi",
     chebyshev_degree=cheb_degree,
-    chefsi_cycles=cheb_cycles, mixing_eps_r=12.0, damping=0.6,
+    chefsi_cycles=cheb_cycles,
+    # mixing eps_r and damping: autopilot (Penn-model estimate + backoff)
     band_chunk=256, is_converged="density",
     filter_precision=filter_precision,
     callback=lambda i: print(f"  it={i['n_iter']} E={i['E']:.6f} "
