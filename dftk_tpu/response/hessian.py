@@ -103,17 +103,17 @@ def gmres(matvec, b, tol=1e-7, maxiter=60, restart=30, verbose=False,
         rel_resid_cur[0] = beta / bnorm
         m = min(restart, maxiter - n_matvec)
         Q = [r / beta]
-        H = np.zeros((m + 1, m))
+        H = np.zeros((m + 1, m), dtype=bflat.dtype)
         for j in range(m):
             w = np.asarray(jax.device_get(
                 mv(jnp.asarray(Q[j].reshape(shape))))).reshape(-1)
             n_matvec += 1
             for i in range(j + 1):
-                H[i, j] = Q[i] @ w
+                H[i, j] = np.vdot(Q[i], w)
                 w = w - H[i, j] * Q[i]
             H[j + 1, j] = np.linalg.norm(w)
             # solve the least-squares problem for the current subspace
-            e1 = np.zeros(j + 2)
+            e1 = np.zeros(j + 2, dtype=bflat.dtype)
             e1[0] = beta
             y, *_ = np.linalg.lstsq(H[:j + 2, :j + 1], e1, rcond=None)
             resid = np.linalg.norm(H[:j + 2, :j + 1] @ y - e1)

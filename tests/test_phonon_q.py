@@ -67,3 +67,79 @@ def test_phonon_band_structure(si_fc):
     f = bs["frequencies"]
     assert f.shape[0] == len(bs["qpath"].kcoords) and f.shape[1] == 6
     assert np.all(np.isfinite(f))
+
+
+# ---------------------------------------------------------------------------
+# Analytic (DFPT) dynamical matrices at q != 0  (VERDICT #5)
+# ---------------------------------------------------------------------------
+
+import dftk_tpu as dftk
+from dftk_tpu.response.phonon_dfpt import dynmat_dfpt_gamma
+from dftk_tpu.response.phonon_q import (dynmat_dfpt_q, dynmat_ewald_q,
+                                        phonon_modes_dfpt_q)
+
+
+def _si_scf(Ecut=6.0, kgrid=(2, 2, 2)):
+    m = make_silicon_model()
+    b = dftk.PlaneWaveBasis(m, Ecut=Ecut, kgrid=kgrid)
+    return dftk.self_consistent_field(b, tol=1e-12, maxiter=60)
+
+
+def test_qcode_at_gamma_matches_gamma_code():
+    res = _si_scf(Ecut=4.0)
+    C0q = dynmat_dfpt_q(res, [0, 0, 0], tol=1e-8, sternheimer_tol=1e-11)
+    C0 = dynmat_dfpt_gamma(res, tol=1e-8, sternheimer_tol=1e-11,
+                           acoustic_sum_rule=False)
+    assert np.abs(C0q.imag).max() < 1e-10
+    assert np.abs(C0q.real - C0).max() < 1e-9
+
+
+def test_dynmat_q_hermitian_time_reversal():
+    res = _si_scf(Ecut=4.0)
+    q = [0.5, 0.0, 0.0]
+    Dq = dynmat_dfpt_q(res, q, tol=1e-8, sternheimer_tol=1e-11)
+    assert np.abs(Dq - Dq.conj().T).max() < 1e-10
+    Dmq = dynmat_dfpt_q(res, [-x for x in q], tol=1e-8,
+                        sternheimer_tol=1e-11)
+    assert np.abs(Dmq - Dq.conj()).max() < 1e-7       # time reversal
+
+
+def test_ewald_dynmat_q_supercell_fold():
+    """Analytic Ewald D(q) vs the exact supercell-hessian fold at X."""
+    import jax
+    import jax.numpy as jnp
+    from dftk_tpu.ops.ewald import energy_ewald
+    a = 5.13
+    L = np.array([[0, a, a], [a, 0, a], [a, a, 0]])
+    pos = np.array([[0.125, 0.125, 0.125], [-0.125, -0.125, -0.125]])
+    Z = np.array([4.0, 4.0])
+    S = np.diag([2, 1, 1]).astype(float)
+    Ls = L @ S
+    pos_s = np.array([np.linalg.solve(S, p + np.array([c, 0, 0]))
+                      for c in range(2) for p in pos])
+    Zs = np.array([4.0] * 4)
+    H = np.asarray(jax.hessian(
+        lambda p: energy_ewald(Ls, Zs, p))(jnp.asarray(pos_s)))
+    Linv_s = np.linalg.inv(Ls)
+    Hc = np.einsum("aA,satb,bB->sAtB", Linv_s, H, Linv_s)
+    D_fold = Hc[:2, :, :2, :] - Hc[:2, :, 2:, :]      # e^{iqR}, R=(1,0,0)
+    q = np.array([0.5, 0, 0])
+    D_q = dynmat_ewald_q(L, Z, pos, q)
+    ph = np.exp(2j * np.pi * (pos @ q))
+    D_gauge = np.einsum("a,aibj,b->aibj", ph, D_q, ph.conj())
+    assert np.abs(D_gauge - D_fold).max() < 1e-10
+
+
+@pytest.mark.slow
+def test_dfpt_q_matches_ifc_at_X():
+    """The VERDICT #5 'Done' criterion: analytic D(q) frequencies at the
+    zone boundary agree with the supercell finite-difference IFC route."""
+    m = make_silicon_model()
+    fc = compute_force_constants(m, Ecut=6.0, supercell_size=(2, 1, 1),
+                                 kgrid=(1, 2, 2),
+                                 scf_kwargs=dict(tol=1e-11), delta=2e-2)
+    q = [0.5, 0.0, 0.0]
+    f_ifc, _ = phonon_modes_q(fc, q)
+    res = _si_scf(Ecut=6.0, kgrid=(2, 2, 2))
+    f_dfpt, _ = phonon_modes_dfpt_q(res, q, tol=1e-8, sternheimer_tol=1e-11)
+    assert np.abs(f_dfpt - f_ifc).max() < 1e-5
