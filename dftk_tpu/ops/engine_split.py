@@ -646,7 +646,8 @@ def self_consistent_field_split(basis, tol=2e-5, maxiter=60, n_bands=None,
     # passed as ARGUMENTS, not closures - closed-over arrays are baked into
     # the program as constants, which blows up the serialized HLO (remote
     # compile services reject it) and bloats the executable.
-    def scf_step(sd_, kin2_, mask2_, rho_in, U_in, diagtol):
+    def scf_step(sd_, kin2_, mask2_, rho_in, U_in, diagtol,
+                 _cycles=None):
         V, _ = total_potential_split(terms, sd_, rho_in, volume)
         ham = make_split_ham(sd_, V)
         A = lambda u: apply_H_split(ham, u, fft_size, volume,
@@ -659,7 +660,8 @@ def self_consistent_field_split(basis, tol=2e-5, maxiter=60, n_bands=None,
                     ham, u, fft_size, volume, band_chunk=band_chunk,
                     precision=filter_precision)
             res = chefsi_step(A, U_in, mask2_, degree=chebyshev_degree,
-                              n_conv=mult * n_bands, cycles=chefsi_cycles,
+                              n_conv=mult * n_bands,
+                              cycles=_cycles or chefsi_cycles,
                               apply_filter=A_fast, band_chunk=band_chunk,
                               csplit=not paired)
         elif paired:
@@ -683,6 +685,16 @@ def self_consistent_field_split(basis, tol=2e-5, maxiter=60, n_bands=None,
                 res.eigenvalues, sd_.kweights, epsF, temperature, smearing,
                 filled_r)
         return rho_out, res.X, res.eigenvalues, occ, epsF, energies
+
+    # CheFSI finisher (autopilot): when the density residual stalls, the
+    # fixed filter degree/cycle count is the accuracy ceiling -- lazily
+    # compile a deeper variant and switch to it
+    _step_cache = {}
+
+    def _get_step(cycles):
+        if cycles not in _step_cache:
+            _step_cache[cycles] = jax.jit(partial(scf_step, _cycles=cycles))
+        return _step_cache[cycles]
 
     _scf_step = jax.jit(scf_step)
     scf_step = lambda rho_in, U_in, diagtol: _scf_step(
@@ -730,8 +742,21 @@ def self_consistent_field_split(basis, tol=2e-5, maxiter=60, n_bands=None,
     damping_cur = float(damping)
     eps_r_cur = float(mixing_eps_r) if mixing_eps_r is not None else 0.0
     n_E_up = 0
+    cycles_cur = chefsi_cycles
+    step_fn = scf_step
     for it in range(maxiter):
-        rho_out, U, eigvals, occ, epsF, energies = scf_step(rho, U, diagtol)
+        # CheFSI finisher: drho stalling across 3 iterations means the
+        # filter depth is the accuracy ceiling -- deepen it (one extra
+        # compile per boost, capped)
+        if (eigensolver == "chefsi" and it >= 3 and not converged
+                and cycles_cur < chefsi_cycles + 4):
+            d3 = [h[1] for h in history[-3:]]
+            if len(d3) == 3 and d3[2] > 0.7 * d3[0]:
+                cycles_cur += 2
+                boosted = _get_step(cycles_cur)
+                step_fn = lambda r_, U_, t_, _b=boosted: _b(
+                    sd, kin2, mask2, r_, U_, t_)
+        rho_out, U, eigvals, occ, epsF, energies = step_fn(rho, U, diagtol)
         E_const = {"Ewald": terms.E_ewald,
                    "PspCorrection": terms.E_psp_correction}
         if auto_eps and it == 0:

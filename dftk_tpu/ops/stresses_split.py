@@ -97,7 +97,7 @@ def energy_at_lattice_split(basis, st: SplitStressData, xy, wocc, lattice,
     kin = 0.5 * jnp.sum(Gpk_cart * Gpk_cart, axis=-1) * st.mask
     abs2_G = jnp.sum(xy * xy, axis=-1)                   # [nk, nb, nG]
     E_kin = jnp.sum(wocc[:, :, None] * kin[:, None, :] * abs2_G) \
-        * terms.data.kinetic_scale
+        * terms.kinetic_scale
 
     # --- density from xy (volume normalisation traced) ----------------------
     cube = scatter_cube_split(xy, st.Gidx, st.mask, fft_size)

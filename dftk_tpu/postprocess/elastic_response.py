@@ -1,0 +1,315 @@
+"""Elastic tensor via DFPT response (implicit SCF differentiation).
+
+Replaces the central-difference loop over re-converged SCFs
+(postprocess/elastic.py) with the implicit-function-theorem route the
+reference uses (src/postprocess/elastic.jl:34 + src/response/hessian.jl):
+
+    C_ab = (1/Omega) [ d^2F/de_a de_b |_psi  (clamped orbitals)
+                       + 2 sum w f Re < d_a(H psi), dpsi^(b) > ]
+    (Omega + K) dpsi^(b) = - P_c d_b(H psi)
+
+where F(eps, psi) = energy_at_lattice(psi fixed, L = (1+eps)L0) carries
+every explicit strain dependence (reciprocal metric, Poisson kernel, form
+factors, FFT normalizations), d_a(H psi) is one jax.jvp of the
+lattice-traced Hamiltonian apply, and (Omega + K) is the SCF Hessian from
+scf/newton.py.  Insulators at T = 0.  Cost: 6 jvps + 6 CG solves instead
+of 12 re-converged SCFs.
+"""
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.elements import ElementPsp
+from ..ops import fft as fftops
+from ..ops import hamiltonian as hamops
+from ..ops.density import compute_density
+from ..utils.special import LM_INDEX, solid_harmonics_real
+from .stresses import energy_at_lattice
+
+
+_VOIGT = [(0, 0), (1, 1), (2, 2), (1, 2), (0, 2), (0, 1)]
+
+
+def _strain_mat(a):
+    """Unit engineering-strain direction (off-diagonals carry 1/2 so the
+    Voigt convention matches postprocess/elastic.py exactly)."""
+    i, j = _VOIGT[a]
+    E = np.zeros((3, 3))
+    if i == j:
+        E[i, j] = 1.0
+    else:
+        E[i, j] = E[j, i] = 0.5
+    return jnp.asarray(E)
+
+
+def _strained_H_psi(basis, psi, occupation, eps, x):
+    """H(eps) x with the potential built from rho(psi fixed, eps).
+
+    eps: symmetric strain matrix (traced); x [nk, nb, nG].  Mirrors the
+    lattice-traced pieces of postprocess/stresses.py as an OPERATOR.
+    """
+    model = basis.model
+    terms = basis.terms
+    bd = basis.data
+    fft_size = basis.fft_size
+    N = int(np.prod(fft_size))
+
+    L0 = jnp.asarray(np.asarray(model.lattice, dtype=float))
+    lattice = (jnp.eye(3) + (eps + eps.T) / 2) @ L0
+    B = 2 * jnp.pi * jnp.linalg.inv(lattice.T)
+    vol = jnp.abs(jnp.linalg.det(lattice))
+    sqrt_vol = jnp.sqrt(vol)
+
+    Gred_pk = jnp.asarray(basis.Gred_np.astype(np.float64)
+                          + basis.kcoords_spin[:, None, :])
+    Gpk_cart = jnp.einsum("ab,knb->kna", B, Gred_pk)
+    kin = 0.5 * jnp.sum(Gpk_cart * Gpk_cart, axis=-1) * bd.mask \
+        * terms.data.kinetic_scale
+
+    # density from fixed psi (volume normalization traced)
+    cube0 = jax.vmap(lambda c, i, m: fftops.scatter_to_cube(c, i, m, fft_size)
+                     )(psi, bd.Gidx, bd.mask)
+    psir0 = jnp.fft.ifftn(cube0, axes=(-3, -2, -1)) * (N / sqrt_vol)
+    wocc = bd.kweights[:, None] * occupation
+    dens_k = jnp.einsum("kn,knxyz->kxyz", wocc, (psir0.conj() * psir0).real)
+    nspin = model.n_spin_components
+    if nspin == 1:
+        rho = jnp.sum(dens_k, axis=0)[None]
+    else:
+        sel = jax.nn.one_hot(bd.kspin, nspin, dtype=dens_k.dtype)
+        rho = jnp.einsum("ks,kxyz->sxyz", sel, dens_k)
+    from ..ops.density import make_symmetrizer
+    symm = make_symmetrizer(basis)
+    if symm is not None:
+        rho = symm(rho)
+    rho_tot = jnp.sum(rho, axis=0)
+
+    Gred_cube = jnp.asarray(basis.G_cube.astype(np.float64))
+    G_cart = jnp.einsum("ab,xyzb->xyza", B, Gred_cube)
+    Gsq = jnp.sum(G_cart * G_cart, axis=-1)
+
+    # local potential grids: V_loc + V_H + V_xc (all traced through eps)
+    Gsq_flat = Gsq.reshape(-1)
+    Gred_flat = Gred_cube.reshape(-1, 3)
+    vloc_G = jnp.zeros(Gsq_flat.shape[0], dtype=jnp.complex128)
+    for group in model.atom_groups:
+        el = model.atoms[group[0]]
+        if not hasattr(el, "local_potential_fourier"):
+            continue
+        ff = el.local_potential_fourier_sq(Gsq_flat)
+        sf = jnp.sum(jnp.exp(-2j * jnp.pi
+                             * (Gred_flat @ jnp.asarray(np.stack(
+                                 model.positions))[jnp.asarray(group)].T)),
+                     axis=1)
+        vloc_G = vloc_G + ff * sf / sqrt_vol
+    Vloc = jnp.fft.ifftn(vloc_G.reshape(fft_size)).real * (N / sqrt_vol)
+
+    rho_G = jnp.fft.fftn(rho_tot)
+    coeffs = jnp.where(Gsq > 0, 4 * jnp.pi / jnp.where(Gsq > 0, Gsq, 1.0),
+                       0.0) * (terms.hartree_scaling or 0.0)
+    VH = jnp.fft.ifftn(coeffs * rho_G).real
+
+    V = jnp.broadcast_to(Vloc + VH, (nspin,) + tuple(fft_size))
+    if terms.xc:
+        rho_xc = rho
+        if terms.rho_core_np is not None:
+            Gsq_f = Gsq.reshape(-1)
+            rcG = jnp.zeros(Gsq_f.shape, dtype=jnp.complex128)
+            done = {}
+            for i, at in enumerate(model.atoms):
+                if not getattr(at, "has_core_density", lambda: False)():
+                    continue
+                if at not in done:
+                    done[at] = at.psp.core_density_fourier_sq(Gsq_f)
+                th = 2 * jnp.pi * (Gred_flat @ jnp.asarray(
+                    model.positions[i]))
+                rcG = rcG + done[at] * jnp.exp(-1j * th)
+            rho_core = jnp.fft.ifftn(
+                (rcG / sqrt_vol).reshape(fft_size)).real * (N / sqrt_vol)
+            rho_xc = rho + jnp.maximum(rho_core, 0.0)[None] / nspin
+        dvol = vol / N
+        Vxc = jax.grad(lambda r: hamops.xc_energy(
+            terms.xc, r, G_cart, vol, terms.xc_scaling))(rho_xc) / dvol
+        V = V + Vxc
+
+    # ---- apply to x ---------------------------------------------------------
+    out = kin[:, None, :] * x
+    cube = jax.vmap(lambda c, i, m: fftops.scatter_to_cube(c, i, m, fft_size)
+                    )(x, bd.Gidx, bd.mask)
+    xr = jnp.fft.ifftn(cube, axes=(-3, -2, -1))
+    Vx = V[bd.kspin][:, None] * xr
+    out = out + jax.vmap(fftops.gather_from_cube)(
+        jnp.fft.fftn(Vx, axes=(-3, -2, -1)), bd.Gidx, bd.mask)
+
+    # nonlocal (projectors traced through the metric)
+    if terms.has_nonlocal:
+        Gpk_sq = jnp.sum(Gpk_cart * Gpk_cart, -1)
+        lmax = max((at.psp.lmax for g in model.atom_groups
+                    for at in [model.atoms[g[0]]]
+                    if isinstance(at, ElementPsp)), default=0)
+        Y = solid_harmonics_real(Gpk_cart, lmax)
+        for group in model.atom_groups:
+            el = model.atoms[group[0]]
+            if not (isinstance(el, ElementPsp) and el.psp.n_proj() > 0):
+                continue
+            psp = el.psp
+            cols = []
+            D = np.zeros((psp.n_proj(), psp.n_proj()))
+            col = 0
+            for l in range(psp.lmax + 1):
+                nproj_l = psp.n_proj_radial(l)
+                if nproj_l == 0:
+                    continue
+                h = np.array(psp.h[l])
+                rad = {i: psp.projector_fourier_sq(i, l, Gpk_sq)
+                       for i in range(1, nproj_l + 1)}
+                for mq in range(-l, l + 1):
+                    ylm = Y[..., LM_INDEX[(l, mq)]]
+                    for i in range(1, nproj_l + 1):
+                        cols.append(rad[i] * (-1j) ** l * ylm)
+                        col += 1
+                    D[col - nproj_l:col, col - nproj_l:col] = h
+            ffm = jnp.stack(cols, axis=-1) * bd.mask[:, :, None]
+            Dj = jnp.asarray(D)
+            for atom_idx in group:
+                sf = jnp.exp(-2j * jnp.pi * (Gred_pk @ jnp.asarray(
+                    model.positions[atom_idx])))
+                P = ffm * sf[:, :, None] / sqrt_vol
+                c = jnp.einsum("kgp,kng->knp", P.conj(), x)
+                out = out + jnp.einsum("kgp,knp->kng", P,
+                                       jnp.einsum("pq,knq->knp",
+                                                  Dj.astype(c.dtype), c))
+    return out * bd.mask[:, None, :]
+
+
+def elastic_tensor_response(scfres, basis=None, cg_tol=1e-9, cg_maxiter=200):
+    """Voigt 6x6 elastic tensor C (Ha/bohr^3) by DFPT response.
+
+    Insulating, T=0, tightly converged scfres.  Validated against the
+    finite-difference elastic_tensor on silicon (tests/test_elastic_resp.py).
+    """
+    # a strain perturbation does not have the crystal symmetry: evaluate on
+    # the FULL k-point set (like phonons; the IBZ-weighted response would
+    # leak symmetrized artifacts into C44 and the off-diagonal blocks)
+    from .unfold import unfold_bz
+    scfres = unfold_bz(scfres)
+    basis = scfres.basis
+    model = basis.model
+    if model.temperature > 0:
+        raise NotImplementedError("elastic response: insulators (T=0) only")
+    terms = basis.terms
+    bd = basis.data
+    vol = model.unit_cell_volume
+    filled = model.filled_occupation
+    n_occ = model.n_electrons // filled
+    psi = jnp.asarray(scfres.psi[:, :n_occ])
+    occ = jnp.full(psi.shape[:2], float(filled))
+    L0 = jnp.asarray(np.asarray(model.lattice, dtype=float))
+
+    # ---- clamped-orbital part: hessian of F(eps) ---------------------------
+    def F(eps_vec):
+        eps = sum(eps_vec[a] * _strain_mat(a) for a in range(6))
+        L = (jnp.eye(3) + eps) @ L0
+        return energy_at_lattice(basis, psi, occ, L)
+
+    z6 = jnp.zeros(6)
+    HF = np.asarray(jax.hessian(F)(z6))                  # [6, 6]
+    gF = np.asarray(jax.grad(F)(z6))                     # dF/de_a = sigma Omega
+    # C = d/de_b [(1/Omega) dF/de_a]; dOmega/de_b = Omega * tr(E_b)
+    trE = np.array([np.trace(np.asarray(_strain_mat(a))) for a in range(6)])
+    C = HF / vol - np.outer(gF, trE) / vol
+
+    # ---- response part ------------------------------------------------------
+    from ..scf.newton import newton  # noqa: F401  (same module family)
+    rho0 = compute_density(bd, psi, occ, basis.fft_size, vol,
+                           model.n_spin_components)
+    Gcart = jnp.asarray(basis.G_cube_cart)
+    V0, _ = hamops.total_potential(terms, rho0, Gcart, vol)
+    ham0 = hamops.build_ham(bd, terms.data, V0)
+    hpsi = hamops.apply_H(ham0, psi, basis.fft_size, vol)
+    lam = jnp.einsum("kng,kmg->knm", psi.conj(), hpsi)
+
+    # (Omega + K) from the Newton module's construction
+    import dftk_tpu.scf.newton as newton_mod
+    fft_size = basis.fft_size
+    nspin = model.n_spin_components
+
+    def Pc(x):
+        ov = jnp.einsum("kng,kmg->knm", psi.conj(), x)
+        return x - jnp.einsum("knm,kng->kmg", ov, psi)
+
+    def Kpart(dpsi):
+        _, drho = jax.jvp(lambda p: compute_density(
+            bd, p, occ, fft_size, vol, nspin), (psi,), (dpsi,))
+
+        def pot(r):
+            V, _ = hamops.total_potential(terms, r, Gcart, vol)
+            return V
+        _, dV = jax.jvp(pot, (rho0,), (drho,))
+        cube = jax.vmap(lambda c, i, m: fftops.scatter_to_cube(
+            c, i, m, fft_size))(psi, bd.Gidx, bd.mask)
+        psir = jnp.fft.ifftn(cube, axes=(-3, -2, -1))
+        dVpsi = jax.vmap(fftops.gather_from_cube)(
+            jnp.fft.fftn(dV[bd.kspin][:, None] * psir, axes=(-3, -2, -1)),
+            bd.Gidx, bd.mask)
+        return Pc(dVpsi)
+
+    eps_n = jnp.real(jnp.einsum("knn->kn", lam))
+
+    def OmegaK(dpsi):
+        d = Pc(dpsi)
+        h = hamops.apply_H(ham0, d, fft_size, vol)
+        return Pc(h - eps_n[:, :, None].astype(d.dtype) * d) + Kpart(d)
+
+    kin = terms.data.kinetic_scale * bd.kin
+    mean_kin = jnp.maximum(
+        jnp.einsum("kng,kg,kng->kn", psi.conj(), kin, psi).real, 1e-12)
+
+    def M(x):
+        return x * (mean_kin[:, :, None]
+                    / (mean_kin[:, :, None] + kin[:, None, :] + 1e-20))
+
+    @jax.jit
+    def cg(b):
+        x = jnp.zeros_like(b)
+        r = b
+        z = M(r)
+        p = z
+        rz = jnp.vdot(r, z).real
+
+        def body(state):
+            x, r, z, p, rz, it = state
+            Ap = OmegaK(p)
+            alpha = rz / jnp.maximum(jnp.vdot(p, Ap).real, 1e-300)
+            x = x + alpha * p
+            r = r - alpha * Ap
+            z = M(r)
+            rz_new = jnp.vdot(r, z).real
+            p = z + (rz_new / jnp.maximum(rz, 1e-300)) * p
+            return x, r, z, p, rz_new, it + 1
+
+        def cond(state):
+            return jnp.logical_and(state[5] < cg_maxiter,
+                                   jnp.linalg.norm(state[1]) > cg_tol)
+        out = jax.lax.while_loop(cond, body, (x, r, z, p, rz, jnp.asarray(0)))
+        return Pc(out[0])
+
+    # bare strain derivatives of H psi via jvp, then solve (Omega+K)
+    rhs, dpsi = [], []
+    for a in range(6):
+        Ea = _strain_mat(a)
+        _, r_a = jax.jvp(
+            lambda e: _strained_H_psi(basis, psi, occ, e * Ea, psi),
+            (jnp.asarray(0.0),), (jnp.asarray(1.0),))
+        r_a = Pc(r_a * bd.mask[:, None, :])
+        rhs.append(r_a)
+        dpsi.append(cg(-r_a))
+
+    w = bd.kweights[:, None] * occ
+    for a in range(6):
+        for b in range(6):
+            ov = jnp.einsum("kng,kng->kn", rhs[a].conj(), dpsi[b])
+            C[a, b] += float(2.0 * jnp.sum(w * ov.real)) / vol
+    return (C + C.T) / 2
