@@ -34,7 +34,9 @@ from .ops.density import (compute_density, guess_density, random_density,
 from .models.psp_lincomb import PspLinComb, virtual_crystal_approximation
 from .scf.driver import self_consistent_field, SCFResult
 from .scf.direct import direct_minimization
-from .scf.mixing import DielectricMixing, KerkerMixing, SimpleMixing
+from .scf.mixing import (Chi0Mixing, DielectricMixing, HybridMixing,
+                         KerkerDosMixing, KerkerMixing, LdosMixing,
+                         SimpleMixing)
 from .symmetry import SymOp
 from .models.psp_upf import PspUpf, load_psp_upf, parse_upf
 from .postprocess.forces import compute_forces, compute_forces_cart

@@ -690,10 +690,11 @@ def self_consistent_field_split(basis, tol=2e-5, maxiter=60, n_bands=None,
     # fixed filter degree/cycle count is the accuracy ceiling -- lazily
     # compile a deeper variant and switch to it
     _step_cache = {}
+    _raw_step = scf_step
 
     def _get_step(cycles):
         if cycles not in _step_cache:
-            _step_cache[cycles] = jax.jit(partial(scf_step, _cycles=cycles))
+            _step_cache[cycles] = jax.jit(partial(_raw_step, _cycles=cycles))
         return _step_cache[cycles]
 
     _scf_step = jax.jit(scf_step)

@@ -296,8 +296,10 @@ def self_consistent_field(
 
     anderson = AndersonAcceleration(m=anderson_depth)
     Gsq = td.Gsq_cart
-    is_ldos_mixing = isinstance(mixing, LdosMixing)
-    if not is_ldos_mixing:
+    is_ldos_mixing = (isinstance(mixing, LdosMixing)
+                      or getattr(mixing, "needs_ldos", False))
+    needs_state = getattr(mixing, "needs_state", False)
+    if not is_ldos_mixing and not needs_state:
         mix = jax.jit(lambda dF: mixing.mix_density(dF, Gsq))
 
     @jax.jit
@@ -400,10 +402,21 @@ def self_consistent_field(
             tau = tau_out      # tau follows psi (no separate mixing)
 
         # density update: precondition + Anderson + damping
-        if is_ldos_mixing:
+        if needs_state:
+            from ..response.chi0 import Chi0Context
+            ctx = Chi0Context(
+                ham=hamops.build_ham(bd, td, V_out), psi=psi,
+                occupation=jnp.asarray(occ),
+                eigenvalues=jnp.asarray(eigvals),
+                epsF=jnp.asarray(epsF))
+            delta_rho = mixing.mix_density(delta_F, Gsq, basis=basis,
+                                           ctx=ctx)
+        elif is_ldos_mixing:
             ldos = _ldos_at(psi, jnp.asarray(eigvals), jnp.asarray(epsF))
-            delta_rho = mixing.mix_density(delta_F, Gsq, ldos=ldos,
-                                           dvol=dvol)
+            kw = dict(ldos=ldos, dvol=dvol)
+            if not isinstance(mixing, LdosMixing):
+                kw["volume"] = volume
+            delta_rho = mixing.mix_density(delta_F, Gsq, **kw)
         else:
             delta_rho = mix(delta_F)
         rho = anderson(rho, delta_rho, damping)

@@ -103,3 +103,115 @@ def _apply_fourier_factor_total(delta_F, factor):
         return mixed_tot[None]
     spin = delta_F[0] - delta_F[1]
     return jnp.stack([(mixed_tot + spin) / 2, (mixed_tot - spin) / 2])
+
+
+@dataclasses.dataclass(frozen=True)
+class KerkerDosMixing:
+    """Kerker with kTF^2 = 4 pi (DOS_a + DOS_b)/Omega from the CURRENT
+    spectrum, and the spin-channel Delta-DOS coupling
+        drho_spin = dF_spin - 4 pi (DDOS/Omega) dF_tot / (kTF^2 + G^2)
+    (reference mixing.jl:54-121).  Receives the per-spin LDOS from the
+    driver (needs_ldos)."""
+    alpha: float = 0.8
+    needs_ldos = True
+
+    def mix_density(self, delta_F, Gsq, ldos=None, dvol=None, volume=None):
+        if ldos is None:
+            return delta_F
+        dos_sigma = jnp.sum(ldos, axis=(1, 2, 3)) * dvol   # [nspin]
+        vol = volume if volume is not None else 1.0
+        dos_tot = jnp.sum(dos_sigma)
+        kTF2 = jnp.maximum(4 * jnp.pi * dos_tot / vol, 1e-8)
+        total = jnp.sum(delta_F, axis=0)
+        tot_F = jnp.fft.fftn(total)
+        mixed_tot = jnp.fft.ifftn(tot_F * Gsq / (kTF2 + Gsq)).real
+        if delta_F.shape[0] == 1:
+            return mixed_tot[None]
+        ddos = (dos_sigma[0] - dos_sigma[1]) / vol
+        spin = delta_F[0] - delta_F[1]
+        spin_F = jnp.fft.fftn(spin) - tot_F * (4 * jnp.pi * ddos) \
+            / (kTF2 + Gsq)
+        mixed_spin = jnp.fft.ifftn(spin_F).real
+        return jnp.stack([(mixed_tot + mixed_spin) / 2,
+                          (mixed_tot - mixed_spin) / 2])
+
+
+@dataclasses.dataclass(frozen=True)
+class HybridMixing:
+    """chi0-model mixing with LDOS + model-dielectric terms (reference
+    mixing.jl:196: chi0terms = [DielectricModel, LdosModel]):
+
+        chi0(dV) = -ldos dV + ldos <ldos,dV>/D
+                 + IFFT[ C0 G^2 / (4 pi (1 - C0 G^2/kTF^2)) ] FFT dV
+
+    with C0 = 1 - eps_r; solves (1 - K chi0) drho = dF by GMRES."""
+    epsilon_r: float = 10.0
+    kTF: float = 0.8
+    alpha: float = 0.8
+    tol: float = 1e-5
+    maxiter: int = 20
+    needs_ldos = True
+
+    def mix_density(self, delta_F, Gsq, ldos=None, dvol=None, volume=None):
+        total = jnp.sum(delta_F, axis=0)
+        C0 = 1.0 - self.epsilon_r
+        diel = C0 * Gsq / (4 * jnp.pi * (1 - C0 * Gsq / self.kTF ** 2))
+        vc = jnp.where(Gsq > 0, 4 * jnp.pi / jnp.where(Gsq > 0, Gsq, 1.0),
+                       0.0)
+        if ldos is not None:
+            ldos_tot = jnp.sum(ldos, axis=0)
+            dos = jnp.sum(ldos_tot) * dvol
+        else:
+            ldos_tot, dos = None, 0.0
+
+        def K(drho):
+            return jnp.fft.ifftn(vc * jnp.fft.fftn(drho)).real
+
+        def chi0(dV):
+            out = jnp.fft.ifftn(diel * jnp.fft.fftn(dV)).real
+            if ldos_tot is not None:
+                out = out - ldos_tot * dV + ldos_tot * (
+                    jnp.sum(ldos_tot * dV) * dvol / jnp.maximum(dos, 1e-14))
+            return out
+
+        def eps(drho):
+            return drho - chi0(K(drho))
+
+        from ..response.hessian import gmres
+        mixed_tot = gmres(eps, total, tol=self.tol, maxiter=self.maxiter)
+        if delta_F.shape[0] == 1:
+            return mixed_tot[None]
+        spin = delta_F[0] - delta_F[1]
+        return jnp.stack([(mixed_tot + spin) / 2, (mixed_tot - spin) / 2])
+
+
+@dataclasses.dataclass(frozen=True)
+class Chi0Mixing:
+    """EXACT chi0 mixing (reference Applychi0Model, chi0models.jl:45):
+    solves (1 - K chi0) drho = dF with chi0 applied through the actual
+    Sternheimer equations of the current iterate.  Expensive (a batched CG
+    per GMRES matvec) but parameter-free; useful as a reference mixing for
+    hard cases.  needs_state: the driver passes the current iterate."""
+    alpha: float = 0.8
+    tol: float = 1e-3
+    maxiter: int = 6
+    sternheimer_tol: float = 1e-6
+    needs_state = True
+
+    def mix_density(self, delta_F, Gsq, basis=None, ctx=None):
+        from ..response.chi0 import apply_chi0
+        from ..response.hessian import gmres
+
+        vc = jnp.where(Gsq > 0, 4 * jnp.pi / jnp.where(Gsq > 0, Gsq, 1.0),
+                       0.0)
+
+        def K(drho):   # RPA (Hartree) kernel, spin-summed
+            tot = jnp.sum(drho, axis=0)
+            out = jnp.fft.ifftn(vc * jnp.fft.fftn(tot)).real
+            return jnp.broadcast_to(out, drho.shape)
+
+        def eps(drho):
+            return drho - apply_chi0(ctx, basis, K(drho),
+                                     tol=self.sternheimer_tol)
+
+        return gmres(eps, delta_F, tol=self.tol, maxiter=self.maxiter)

@@ -115,3 +115,42 @@ def test_ldos_mixing_matches_kerker():
     assert abs(r1.total_energy - r2.total_energy) < 1e-7
     # the chi0-model should not be dramatically slower than Kerker here
     assert r2.n_iter <= r1.n_iter + 15
+
+
+# ---------------------------------------------------------------------------
+# chi0-model mixing breadth (reference mixing.jl:54-233, chi0models.jl:45)
+# ---------------------------------------------------------------------------
+
+def _al_basis():
+    a = 7.65339
+    lattice = a / 2 * np.array([[0, 1, 1], [1, 0, 1], [1, 1, 0]])
+    Al = dftk.ElementPsp.from_symbol("Al", psp="lda/al-q3")
+    m = dftk.model_DFT(lattice, [Al], [np.zeros(3)],
+                       functionals=["lda_x", "lda_c_vwn"], temperature=1e-2)
+    return dftk.PlaneWaveBasis(m, Ecut=6.0, kgrid=(2, 2, 2))
+
+
+def test_hybrid_and_kerkerdos_mixing_converge_to_same_energy():
+    b = _al_basis()
+    E = {}
+    for name, mx in (("kerker", dftk.KerkerMixing()),
+                     ("hybrid", dftk.HybridMixing(epsilon_r=2.0)),
+                     ("kerkerdos", dftk.KerkerDosMixing())):
+        res = dftk.self_consistent_field(b, tol=1e-9, maxiter=60, mixing=mx)
+        assert res.converged, name
+        E[name] = res.total_energy
+    assert abs(E["hybrid"] - E["kerker"]) < 1e-7
+    assert abs(E["kerkerdos"] - E["kerker"]) < 1e-7
+
+
+def test_exact_chi0_mixing_converges():
+    """Applychi0Model parity: the exact-Sternheimer chi0 inside the mixing.
+    Small silicon so the per-iteration Sternheimer cost stays low."""
+    from testcases import make_silicon_model
+    m = make_silicon_model()
+    b = dftk.PlaneWaveBasis(m, Ecut=5.0, kgrid=(1, 1, 1))
+    ref = dftk.self_consistent_field(b, tol=1e-9, maxiter=60)
+    res = dftk.self_consistent_field(b, tol=1e-9, maxiter=40,
+                                     mixing=dftk.Chi0Mixing())
+    assert res.converged
+    assert abs(res.total_energy - ref.total_energy) < 1e-7
