@@ -740,6 +740,7 @@ def self_consistent_field_split(basis, tol=2e-5, maxiter=60, n_bands=None,
     E_prev, converged, diagtol = None, False, diagtol_max
     history = []
     info = None
+    best_info, best_drho, best_U = None, np.inf, None
     damping_cur = float(damping)
     eps_r_cur = float(mixing_eps_r) if mixing_eps_r is not None else 0.0
     n_E_up = 0
@@ -770,8 +771,11 @@ def self_consistent_field_split(basis, tol=2e-5, maxiter=60, n_bands=None,
             gaps = ev_h[:, mult * n_occ_b] - ev_h[:, mult * n_occ_b - 1]
             mean_gap = max(float(np.mean(gaps)), 1e-3)
             omega_p2 = 4 * math.pi * model.n_electrons / volume
+            # clamp to the physical semiconductor range: in supercells the
+            # folded direct gap underestimates the average gap badly, and
+            # over-screening (eps_r >> true eps) slows convergence
             eps_r_cur = float(np.clip(1 + omega_p2 / mean_gap ** 2, 2.0,
-                                      40.0))
+                                      16.0))
         rho_mixed, histX, histF, hist_cnt, drho_dev = mix_step(
             rho, rho_out, histX, histF, hist_cnt,
             jnp.asarray(damping_cur, dtype=rho.dtype),
@@ -798,12 +802,18 @@ def self_consistent_field_split(basis, tol=2e-5, maxiter=60, n_bands=None,
             n_E_up = 0
         E_prev = E_total
         info = (rho_out, eigvals, occ, epsF, energies, E_const)
+        # best-iterate tracking: near the eigensolver noise floor drho
+        # oscillates; return the LOWEST-residual state, not the last one
+        if best_info is None or drho < best_drho:
+            best_drho, best_info, best_U = drho, info, U
         if converged:
             rho = rho_out
             break
         rho = rho_mixed
         diagtol = min(diagtol, max(0.2 * drho, diagtol_min))
 
+    if not converged and best_info is not None:
+        info, U = best_info, best_U
     rho_out, eigvals, occ, epsF, energies, E_const = info
     energies_out = {k: float(jax.device_get(v)) for k, v in energies.items()}
     energies_out.update(E_const)

@@ -208,6 +208,32 @@ def apply_chi0(ctx: Chi0Context, basis, delta_V, tol=1e-9,
     Sternheimer solve; density_tol switches to per-band balanced
     tolerances targeting that density accuracy.
     """
+    bd = basis.data
+    fft_size = basis.fft_size
+    psi = ctx.psi
+
+    # delta_V * psi in the plane-wave basis
+    dV_k = delta_V[bd.kspin]                           # [nk, grid]
+    from ..ops import fft as fftops
+    cube = jax.vmap(lambda c, i, m: fftops.scatter_to_cube(c, i, m, fft_size)
+                    )(psi, bd.Gidx, bd.mask)
+    psir = jnp.fft.ifftn(cube, axes=(-3, -2, -1))
+    dVpsir = dV_k[:, None] * psir
+    dVpsi = jax.vmap(fftops.gather_from_cube)(
+        jnp.fft.fftn(dVpsir, axes=(-3, -2, -1)), bd.Gidx, bd.mask)
+    return apply_chi0_generic(ctx, basis, dVpsi, tol=tol,
+                              occupation_threshold=occupation_threshold,
+                              use_schur=use_schur, density_tol=density_tol)
+
+
+def apply_chi0_generic(ctx: Chi0Context, basis, dVpsi, tol=1e-9,
+                       occupation_threshold=1e-8, use_schur=True,
+                       density_tol=None, with_detail=False):
+    """chi_0 response to a GENERAL Hermitian perturbation given as
+    dVpsi = dH psi [nk, nb, nG] (e.g. displacement perturbations with
+    their nonlocal parts).  Returns delta_rho; with_detail=True returns
+    (delta_rho, dpsi, df, depsF) for free-energy second derivatives
+    (metallic phonons)."""
     model = basis.model
     bd = basis.data
     fft_size = basis.fft_size
@@ -220,15 +246,10 @@ def apply_chi0(ctx: Chi0Context, basis, delta_V, tol=1e-9,
     nk, nb, nG = psi.shape
     apply = lambda p: hamops.apply_H(ctx.ham, p, fft_size, vol)
 
-    # delta_V * psi in the plane-wave basis
-    dV_k = delta_V[bd.kspin]                           # [nk, grid]
     from ..ops import fft as fftops
     cube = jax.vmap(lambda c, i, m: fftops.scatter_to_cube(c, i, m, fft_size)
                     )(psi, bd.Gidx, bd.mask)
     psir = jnp.fft.ifftn(cube, axes=(-3, -2, -1))
-    dVpsir = dV_k[:, None] * psir
-    dVpsi = jax.vmap(fftops.gather_from_cube)(
-        jnp.fft.fftn(dVpsir, axes=(-3, -2, -1)), bd.Gidx, bd.mask)
 
     # ---- band splitting ------------------------------------------------------
     # "occupied" = response solved for (f > threshold); the other computed
@@ -295,6 +316,8 @@ def apply_chi0(ctx: Chi0Context, basis, delta_V, tol=1e-9,
         drho = jnp.einsum("ks,kxyz->sxyz", sel, drho_k)
 
     # ---- metallic occupation response ---------------------------------------
+    df = jnp.zeros_like(occ)
+    depsF = jnp.asarray(0.0)
     if T > 0:
         smearing = model.smearing
         x = (eps - ctx.epsF) / T
@@ -316,4 +339,6 @@ def apply_chi0(ctx: Chi0Context, basis, delta_V, tol=1e-9,
             sel = jax.nn.one_hot(bd.kspin, nspin, dtype=drho_occ_k.dtype)
             drho = drho + jnp.einsum("ks,kxyz->sxyz", sel, drho_occ_k)
 
+    if with_detail:
+        return drho, dpsi, df, depsF
     return drho

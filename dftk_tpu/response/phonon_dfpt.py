@@ -193,7 +193,10 @@ def dynmat_dfpt_gamma(scfres, tol=1e-7, sternheimer_tol=1e-10,
                       acoustic_sum_rule=True, verbose=False):
     """Cartesian force-constant matrix [3 na, 3 na] at q = 0 by DFPT.
 
-    Requires an insulating, tightly converged scfres (T = 0).
+    Works for insulators AND metals (T > 0: the free-energy second
+    derivative adds the occupation-response term sum w df <psi|dV|psi>
+    and the divided-difference band pairs inside chi0; de Gironcoli,
+    PRB 51, 6773 (1995)).  Requires a tightly converged scfres.
     Mass-weight and diagonalize with
     `postprocess.phonon.phonon_modes_from_dynmat`.
     """
@@ -205,10 +208,7 @@ def dynmat_dfpt_gamma(scfres, tol=1e-7, sternheimer_tol=1e-10,
     scfres = unfold_bz(scfres)
     basis = scfres.basis
     model = basis.model
-    if model.temperature > 0:
-        raise NotImplementedError(
-            "DFPT dynamical matrices are implemented for insulators (T=0); "
-            "use the finite-difference supercell route for metals")
+    metallic = model.temperature > 0
     na = len(model.atoms)
     rho0 = jnp.asarray(scfres.rho)
     ctx = make_chi0_context(scfres, basis)
@@ -237,22 +237,45 @@ def dynmat_dfpt_gamma(scfres, tol=1e-7, sternheimer_tol=1e-10,
     bd = basis.data
     occ = jnp.asarray(scfres.occupation)
     w = bd.kweights[:, None] * occ
+    from .chi0 import apply_chi0_generic
 
-    dpsi_all = []
+    def _dV_ind_psi(drho):
+        dV_ind = apply_kernel(basis, rho0, drho)
+        psi = ctx.psi
+        cube = jax.vmap(lambda c, i, m: fftops.scatter_to_cube(
+            c, i, m, basis.fft_size))(psi, bd.Gidx, bd.mask)
+        psir = jnp.fft.ifftn(cube, axes=(-3, -2, -1))
+        return jax.vmap(fftops.gather_from_cube)(
+            jnp.fft.fftn(dV_ind[bd.kspin][:, None] * psir,
+                         axes=(-3, -2, -1)), bd.Gidx, bd.mask)
+
+    dpsi_all, df_all = [], []
     for j, rhs in enumerate(rhs_list):
-        drho_bare, _ = _chi0_rhs(ctx, basis, rhs, tol=sternheimer_tol)
+        drho_bare = apply_chi0_generic(ctx, basis, rhs, tol=sternheimer_tol)
         drho = gmres(matvec, drho_bare, tol=tol, verbose=verbose)
-        dpsi = _screened_dpsi(ctx, basis, rhs, drho, rho0,
-                              tol=sternheimer_tol)
+        rhs_tot = rhs + _dV_ind_psi(drho)
+        _, dpsi, df, _ = apply_chi0_generic(ctx, basis, rhs_tot,
+                                            tol=sternheimer_tol,
+                                            with_detail=True)
         dpsi_all.append(dpsi)
+        df_all.append(df)
         if verbose:
             print(f"  perturbation {j + 1}/{len(rhs_list)} solved")
 
     C_resp = np.zeros((3 * na, 3 * na))
+    wk = bd.kweights[:, None]
     for s in range(3 * na):
+        # bare diagonal matrix elements <psi_n | d_s H | psi_n>
+        dVnn_s = jnp.einsum("kng,kng->kn", ctx.psi.conj(),
+                            rhs_list[s]).real
         for t in range(3 * na):
             ov = jnp.einsum("kng,kng->kn", dpsi_all[t].conj(), rhs_list[s])
-            C_resp[s, t] = float(2.0 * jnp.sum(w * ov.real))
+            val = 2.0 * jnp.sum(w * ov.real)
+            if metallic:
+                # occupation response of the free energy:
+                # sum w df_n^{(t)} <psi|d_s V|psi>_n (de Gironcoli 1995)
+                val = val + jnp.sum(wk * df_all[t] * dVnn_s)
+            C_resp[s, t] = float(val)
     C = C.reshape(3 * na, 3 * na) + C_resp
     C = (C + C.T) / 2
 

@@ -230,12 +230,14 @@ class QContext:
 
 def sternheimer_q(ctx, basis, qctx: QContext, rhs_sector, tol=1e-10,
                   occupation_threshold=1e-8):
-    """Solve the k+q Sternheimer equations.
+    """Solve the k+q Sternheimer equations (+ the metallic explicit
+    divided-difference pairs when T > 0).
 
     rhs_sector [nk, nb, nG]: dH_q psi_{nk} already expressed in the
     wrap(k+q) sector (slot ik holds a vector on the sphere of k_perm[ik]).
     Returns dpsi in the same sector layout.
     """
+    model = basis.model
     bd = basis.data
     perm = qctx.perm
     p = jnp.asarray(perm)
@@ -247,7 +249,40 @@ def sternheimer_q(ctx, basis, qctx: QContext, rhs_sector, tol=1e-10,
     rhs = rhs_sector * occ_mask[:, :, None]
     dpsi = sternheimer_solver(apply, psi_occ_q, ctx.eigenvalues, rhs,
                               hamq.kin, bd.mask[p], tol=tol)
-    return dpsi * occ_mask[:, :, None]
+    dpsi = dpsi * occ_mask[:, :, None]
+
+    # metallic explicit pairs among the partially occupied bands of
+    # (m at k+q, n at k): alpha_mn = ratio f_n/(f_n^2 + f_m^2), ratio the
+    # occupation divided difference; m == n IS included at q != 0
+    # (reference chi0.jl:399-412, no separate delta-occ/Fermi term)
+    T = model.temperature
+    if T > 0 and model.smearing is not None:
+        from ..models.smearing import (NoSmearing,
+                                       occupation_divided_difference)
+        if not isinstance(model.smearing, NoSmearing):
+            eps_kq = ctx.eigenvalues[p]                # [k, m] at k+q
+            occ_kq = ctx.occupation[p]
+            em = eps_kq[:, :, None]
+            en = ctx.eigenvalues[:, None, :]
+            ratio = occupation_divided_difference(
+                model.smearing, em * jnp.ones_like(en),
+                en * jnp.ones_like(em), ctx.epsF, T) \
+                * model.filled_occupation
+            fm = occ_kq[:, :, None]
+            fn = ctx.occupation[:, None, :]
+            alpha = ratio * fn / jnp.maximum(fn ** 2 + fm ** 2, 1e-30)
+            pair_mask = ((occ_kq > occupation_threshold)[:, :, None]
+                         & occ_mask[:, None, :])
+            if qctx.is_gamma:
+                nb = ctx.psi.shape[1]
+                pair_mask = pair_mask & ~jnp.eye(nb, dtype=bool)[None]
+            alpha = jnp.where(pair_mask, alpha, 0.0)
+            psi_kq = ctx.psi[p]
+            dots = jnp.einsum("kmg,kng->kmn", psi_kq.conj(), rhs_sector)
+            dpsi = dpsi + jnp.einsum("kmn,kmg->kng",
+                                     alpha.astype(dots.dtype) * dots,
+                                     psi_kq) * occ_mask[:, :, None]
+    return dpsi
 
 
 def drho_q_from_dpsi(ctx, basis, qctx: QContext, dpsi_sector,
@@ -389,12 +424,19 @@ def dynmat_dfpt_q(scfres, q, tol=1e-7, sternheimer_tol=1e-10,
                   maxiter=40, verbose=False):
     """Cartesian force-constant matrix [3na, 3na] at reduced q by DFPT
     (complex Hermitian; smooth convention).  Insulators, T = 0."""
+    if (np.allclose(np.asarray(q, dtype=float), 0)
+            and scfres.basis.model.temperature > 0):
+        # metallic q=0 carries the delta-occ/Fermi-shift terms that live in
+        # the Gamma-specialized assembly
+        from .phonon_dfpt import dynmat_dfpt_gamma
+        return dynmat_dfpt_gamma(scfres, tol=tol,
+                                 sternheimer_tol=sternheimer_tol,
+                                 acoustic_sum_rule=False,
+                                 verbose=verbose).astype(complex)
     from ..postprocess.unfold import unfold_bz
     scfres = unfold_bz(scfres)
     basis = scfres.basis
     model = basis.model
-    if model.temperature > 0:
-        raise NotImplementedError("q != 0 DFPT: insulators (T=0) only")
     if basis.terms.rho_core_np is not None:
         raise NotImplementedError("q != 0 DFPT with NLCC not implemented")
     na = len(model.atoms)

@@ -143,3 +143,27 @@ def test_dfpt_q_matches_ifc_at_X():
     res = _si_scf(Ecut=6.0, kgrid=(2, 2, 2))
     f_dfpt, _ = phonon_modes_dfpt_q(res, q, tol=1e-8, sternheimer_tol=1e-11)
     assert np.abs(f_dfpt - f_ifc).max() < 1e-5
+
+
+@pytest.mark.slow
+def test_dfpt_q_metallic_matches_ifc():
+    """Metallic q != 0 DFPT (magnesium, T=0.01): divided-difference pairs
+    across (k, k+q) vs the finite-difference IFC route."""
+    from testcases import magnesium
+    Mg = dftk.ElementPsp.from_symbol("Mg", psp=magnesium["psp"])
+    m = dftk.model_DFT(magnesium["lattice"], [Mg, Mg],
+                       magnesium["positions"],
+                       functionals=["lda_x", "lda_c_vwn"],
+                       temperature=magnesium["temperature"])
+    fc = compute_force_constants(
+        m, Ecut=5.0, supercell_size=(2, 1, 1), kgrid=(1, 2, 2),
+        scf_kwargs=dict(tol=1e-11, n_bands=12, n_extra_bands=6),
+        delta=2e-2)
+    q = [0.5, 0.0, 0.0]
+    f_ifc, _ = phonon_modes_q(fc, q)
+    b = dftk.PlaneWaveBasis(m, Ecut=5.0, kgrid=(2, 2, 2))
+    res = dftk.self_consistent_field(b, tol=1e-12, maxiter=80,
+                                     n_bands=6, n_extra_bands=4)
+    f_dfpt, _ = phonon_modes_dfpt_q(res, q, tol=1e-8,
+                                    sternheimer_tol=1e-11)
+    assert np.abs(f_dfpt - f_ifc).max() < 2e-5, (f_dfpt, f_ifc)
