@@ -222,79 +222,9 @@ def elastic_tensor_response(scfres, basis=None, cg_tol=1e-9, cg_maxiter=200):
     C = HF / vol - np.outer(gF, trE) / vol
 
     # ---- response part ------------------------------------------------------
-    from ..scf.newton import newton  # noqa: F401  (same module family)
+    from ..response.hessian import solve_omega_plus_k
     rho0 = compute_density(bd, psi, occ, basis.fft_size, vol,
                            model.n_spin_components)
-    Gcart = jnp.asarray(basis.G_cube_cart)
-    V0, _ = hamops.total_potential(terms, rho0, Gcart, vol)
-    ham0 = hamops.build_ham(bd, terms.data, V0)
-    hpsi = hamops.apply_H(ham0, psi, basis.fft_size, vol)
-    lam = jnp.einsum("kng,kmg->knm", psi.conj(), hpsi)
-
-    # (Omega + K) from the Newton module's construction
-    import dftk_tpu.scf.newton as newton_mod
-    fft_size = basis.fft_size
-    nspin = model.n_spin_components
-
-    def Pc(x):
-        ov = jnp.einsum("kng,kmg->knm", psi.conj(), x)
-        return x - jnp.einsum("knm,kng->kmg", ov, psi)
-
-    def Kpart(dpsi):
-        _, drho = jax.jvp(lambda p: compute_density(
-            bd, p, occ, fft_size, vol, nspin), (psi,), (dpsi,))
-
-        def pot(r):
-            V, _ = hamops.total_potential(terms, r, Gcart, vol)
-            return V
-        _, dV = jax.jvp(pot, (rho0,), (drho,))
-        cube = jax.vmap(lambda c, i, m: fftops.scatter_to_cube(
-            c, i, m, fft_size))(psi, bd.Gidx, bd.mask)
-        psir = jnp.fft.ifftn(cube, axes=(-3, -2, -1))
-        dVpsi = jax.vmap(fftops.gather_from_cube)(
-            jnp.fft.fftn(dV[bd.kspin][:, None] * psir, axes=(-3, -2, -1)),
-            bd.Gidx, bd.mask)
-        return Pc(dVpsi)
-
-    eps_n = jnp.real(jnp.einsum("knn->kn", lam))
-
-    def OmegaK(dpsi):
-        d = Pc(dpsi)
-        h = hamops.apply_H(ham0, d, fft_size, vol)
-        return Pc(h - eps_n[:, :, None].astype(d.dtype) * d) + Kpart(d)
-
-    kin = terms.data.kinetic_scale * bd.kin
-    mean_kin = jnp.maximum(
-        jnp.einsum("kng,kg,kng->kn", psi.conj(), kin, psi).real, 1e-12)
-
-    def M(x):
-        return x * (mean_kin[:, :, None]
-                    / (mean_kin[:, :, None] + kin[:, None, :] + 1e-20))
-
-    @jax.jit
-    def cg(b):
-        x = jnp.zeros_like(b)
-        r = b
-        z = M(r)
-        p = z
-        rz = jnp.vdot(r, z).real
-
-        def body(state):
-            x, r, z, p, rz, it = state
-            Ap = OmegaK(p)
-            alpha = rz / jnp.maximum(jnp.vdot(p, Ap).real, 1e-300)
-            x = x + alpha * p
-            r = r - alpha * Ap
-            z = M(r)
-            rz_new = jnp.vdot(r, z).real
-            p = z + (rz_new / jnp.maximum(rz, 1e-300)) * p
-            return x, r, z, p, rz_new, it + 1
-
-        def cond(state):
-            return jnp.logical_and(state[5] < cg_maxiter,
-                                   jnp.linalg.norm(state[1]) > cg_tol)
-        out = jax.lax.while_loop(cond, body, (x, r, z, p, rz, jnp.asarray(0)))
-        return Pc(out[0])
 
     # bare strain derivatives of H psi via jvp, then solve (Omega+K)
     rhs, dpsi = [], []
@@ -303,9 +233,10 @@ def elastic_tensor_response(scfres, basis=None, cg_tol=1e-9, cg_maxiter=200):
         _, r_a = jax.jvp(
             lambda e: _strained_H_psi(basis, psi, occ, e * Ea, psi),
             (jnp.asarray(0.0),), (jnp.asarray(1.0),))
-        r_a = Pc(r_a * bd.mask[:, None, :])
+        r_a = r_a * bd.mask[:, None, :]
         rhs.append(r_a)
-        dpsi.append(cg(-r_a))
+        dpsi.append(solve_omega_plus_k(basis, psi, occ, r_a, rho=rho0,
+                                       cg_tol=cg_tol, cg_maxiter=cg_maxiter))
 
     w = bd.kweights[:, None] * occ
     for a in range(6):

@@ -151,3 +151,95 @@ def compute_polarizability(scfres, direction=2, basis=None, **kwargs):
     # dipole response along the same axis
     return float(jnp.sum(jnp.asarray(ra) * jnp.sum(drho, axis=0))
                  * basis.dvol)
+
+
+def solve_omega_plus_k(basis, psi, occupation, rhs, rho=None,
+                       cg_tol=1e-9, cg_maxiter=200):
+    """Solve (Omega + K) dpsi = -P_c rhs for the orbital response
+    (reference src/response/hessian.jl solve_OmegaplusK / _split).
+
+    psi [nk, n_occ, nG] occupied orbitals of a converged insulating state;
+    rhs [nk, n_occ, nG] an arbitrary Hamiltonian perturbation applied to
+    psi (dH psi).  Returns dpsi orthogonal to the occupied space.  The
+    same operator the Newton SCF and the elastic response use.
+    """
+    model = basis.model
+    terms = basis.terms
+    bd = basis.data
+    fft_size = basis.fft_size
+    vol = model.unit_cell_volume
+    nspin = model.n_spin_components
+    from ..ops.density import compute_density
+    from ..ops import fft as fftops
+
+    psi = jnp.asarray(psi)
+    occupation = jnp.asarray(occupation)
+    if rho is None:
+        rho = compute_density(bd, psi, occupation, fft_size, vol, nspin)
+    Gcart = jnp.asarray(basis.G_cube_cart)
+    V0, _ = hamops.total_potential(terms, rho, Gcart, vol)
+    ham0 = hamops.build_ham(bd, terms.data, V0)
+    hpsi = hamops.apply_H(ham0, psi, fft_size, vol)
+    lam = jnp.einsum("kng,kmg->knm", psi.conj(), hpsi)
+    eps_n = jnp.real(jnp.einsum("knn->kn", lam))
+
+    def Pc(x):
+        ov = jnp.einsum("kng,kmg->knm", psi.conj(), x)
+        return x - jnp.einsum("knm,kng->kmg", ov, psi)
+
+    def Kpart(dpsi):
+        _, drho = jax.jvp(lambda p: compute_density(
+            bd, p, occupation, fft_size, vol, nspin), (psi,), (dpsi,))
+
+        def pot(r):
+            V, _ = hamops.total_potential(terms, r, Gcart, vol)
+            return V
+        _, dV = jax.jvp(pot, (rho,), (drho,))
+        cube = jax.vmap(lambda c, i, m: fftops.scatter_to_cube(
+            c, i, m, fft_size))(psi, bd.Gidx, bd.mask)
+        psir = jnp.fft.ifftn(cube, axes=(-3, -2, -1))
+        dVpsi = jax.vmap(fftops.gather_from_cube)(
+            jnp.fft.fftn(dV[bd.kspin][:, None] * psir, axes=(-3, -2, -1)),
+            bd.Gidx, bd.mask)
+        return Pc(dVpsi)
+
+    def OmegaK(dpsi):
+        d = Pc(dpsi)
+        h = hamops.apply_H(ham0, d, fft_size, vol)
+        return Pc(h - eps_n[:, :, None].astype(d.dtype) * d) + Kpart(d)
+
+    kin = terms.data.kinetic_scale * bd.kin
+    mean_kin = jnp.maximum(
+        jnp.einsum("kng,kg,kng->kn", psi.conj(), kin, psi).real, 1e-12)
+
+    def M(x):
+        return x * (mean_kin[:, :, None]
+                    / (mean_kin[:, :, None] + kin[:, None, :] + 1e-20))
+
+    @jax.jit
+    def cg(b):
+        x = jnp.zeros_like(b)
+        r = b
+        z = M(r)
+        p = z
+        rz = jnp.vdot(r, z).real
+
+        def body(state):
+            x, r, z, p, rz, it = state
+            Ap = OmegaK(p)
+            alpha = rz / jnp.maximum(jnp.vdot(p, Ap).real, 1e-300)
+            x = x + alpha * p
+            r = r - alpha * Ap
+            z = M(r)
+            rz_new = jnp.vdot(r, z).real
+            p = z + (rz_new / jnp.maximum(rz, 1e-300)) * p
+            return x, r, z, p, rz_new, it + 1
+
+        def cond(state):
+            return jnp.logical_and(state[5] < cg_maxiter,
+                                   jnp.linalg.norm(state[1]) > cg_tol)
+        out = jax.lax.while_loop(cond, body,
+                                 (x, r, z, p, rz, jnp.asarray(0)))
+        return Pc(out[0])
+
+    return cg(-Pc(jnp.asarray(rhs)))
