@@ -575,7 +575,8 @@ def self_consistent_field_split(basis, tol=2e-5, maxiter=60, n_bands=None,
                                 eigensolver="lobpcg", chebyshev_degree=10,
                                 chefsi_cycles=1, mixing_eps_r=None,
                                 band_chunk=None, filter_precision=None,
-                                mesh=None, band_repr="complex"):
+                                mesh=None, band_repr="complex",
+                                rho0=None, U0=None):
     """SCF in the realified split engine (f32, complex-free device code).
 
     band_repr: "complex" (default) iterates nb complex bands as realified
@@ -622,14 +623,27 @@ def self_consistent_field_split(basis, tol=2e-5, maxiter=60, n_bands=None,
     kin2 = jnp.concatenate([sd.kin, sd.kin], axis=-1)
     Gsq = jnp.sum(sd.G_cart * sd.G_cart, axis=-1)
 
-    key = jax.random.PRNGKey(seed)
-    U = jax.random.normal(key, (basis.n_kpoints, nbr, 2 * sd.kin.shape[1]),
-                          dtype=dtype) * mask2[:, None, :]
     from .eigen.lobpcg import lobpcg, ortho_qr
-    U = ortho_qr(U)
+    if U0 is not None:
+        # warm start / restart (checkpointed state from a previous run)
+        U = jnp.asarray(U0, dtype=dtype) * mask2[:, None, :]
+        if U.shape[1] < nbr:         # grow with random extra vectors
+            key = jax.random.PRNGKey(seed)
+            extra = jax.random.normal(
+                key, (basis.n_kpoints, nbr - U.shape[1],
+                      2 * sd.kin.shape[1]), dtype=dtype) * mask2[:, None, :]
+            U = jnp.concatenate([U, extra], axis=1)
+        U = ortho_qr(U[:, :nbr])
+    else:
+        key = jax.random.PRNGKey(seed)
+        U = jax.random.normal(key,
+                              (basis.n_kpoints, nbr, 2 * sd.kin.shape[1]),
+                              dtype=dtype) * mask2[:, None, :]
+        U = ortho_qr(U)
 
-    rho = jnp.asarray(np.asarray(jax.device_get(guess_density(basis))),
-                      dtype=dtype)
+    rho = (jnp.asarray(rho0, dtype=dtype) if rho0 is not None else
+           jnp.asarray(np.asarray(jax.device_get(guess_density(basis))),
+                       dtype=dtype))
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as _P
         from ..parallel.mesh import orbital_sharding

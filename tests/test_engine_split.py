@@ -142,3 +142,23 @@ def test_paired_band_repr_matches_csplit(si_setup):
     assert abs(res_c["energies"]["total"] - res_p["energies"]["total"]) < 1e-8
     assert np.max(np.abs(res_c["eigenvalues"][:, :8]
                          - res_p["eigenvalues"][:, :8])) < 1e-5
+
+
+def test_split_scf_warm_restart():
+    """rho0/U0 warm start: restarting from a converged state converges in
+    very few iterations to the same energy (chip checkpoint/resume)."""
+    import jax.numpy as jnp
+    from dftk_tpu.ops.engine_split import self_consistent_field_split
+    from testcases import make_silicon_model
+    import dftk_tpu as dftk
+    m = make_silicon_model()
+    b = dftk.PlaneWaveBasis(m, Ecut=6.0, kgrid=(1, 1, 1))
+    r1 = self_consistent_field_split(b, tol=1e-9, maxiter=50,
+                                     dtype=jnp.float64)
+    assert r1["converged"]
+    r2 = self_consistent_field_split(b, tol=1e-9, maxiter=8,
+                                     dtype=jnp.float64,
+                                     rho0=r1["rho"], U0=r1["U"])
+    assert r2["converged"]
+    assert r2["n_iter"] <= 4
+    assert abs(r2["energies"]["total"] - r1["energies"]["total"]) < 1e-8
