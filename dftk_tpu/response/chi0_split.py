@@ -1,0 +1,179 @@
+"""chi_0 / Sternheimer response in the split-real (complex-free) engine.
+
+Chip-runnable linear response: the complex Sternheimer system
+    P_c (H - eps_n) P_c dpsi_n = -P_c (dV psi_n)
+is solved on realified vectors u = (x; y) (ops/eigen/csplit.py algebra):
+the complex projector uses the J-structured Gram pair, the operator is the
+split H apply, and the preconditioned CG runs on real arrays only -- so
+apply_chi0 compiles on TPU backends without complex dtypes.  Insulators
+(T = 0 response; the metallic occupation terms stay in the complex path).
+
+Validated against the complex-f64 apply_chi0 (tests/test_chi0_split.py)
+and measured on the real TPU chip.
+"""
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.engine_split import (SplitTermsData, apply_H_split,
+                                make_split_ham, total_potential_split)
+from ..ops.eigen.csplit import apply_J, cgram
+
+
+def _project_out_c(x, U_occ):
+    """x - sum_n u_n <psi_n, phi>  in realified form.
+
+    <psi_n, phi> = cr + i ci from the csplit Gram; the complex combination
+    maps to cr*u + ci*J(u).
+    """
+    Gr, Gi = cgram(U_occ, x)              # [nk, no, nb]
+    out = x - jnp.einsum("knm,kng->kmg", Gr, U_occ) \
+        - jnp.einsum("knm,kng->kmg", Gi, apply_J(U_occ))
+    return out
+
+
+def sternheimer_split(apply_H, U_occ, eps_occ, rhs, kin2, mask2,
+                      tol=1e-6, maxiter=200):
+    """Batched preconditioned CG for the projected split-real system.
+
+    U_occ [nk, no, 2nG] csplit occupied bands; eps_occ [nk, no];
+    rhs [nk, no, 2nG] = realified (dV psi_n).  Returns dpsi (realified),
+    orthogonal (complex sense) to the occupied space.
+    """
+    mask3 = mask2[:, None, :]
+
+    def Pc(x):
+        return _project_out_c(x, U_occ) * mask3
+
+    b = -Pc(rhs)
+
+    def A(x):
+        hx = apply_H(x) - eps_occ[:, :, None].astype(x.dtype) * x
+        return Pc(hx)
+
+    mean_kin = jnp.maximum(
+        jnp.einsum("kng,kg,kng->kn", U_occ, kin2, U_occ), 1e-12)
+
+    def M(x):
+        return x * (mean_kin[:, :, None]
+                    / (mean_kin[:, :, None] + kin2[:, None, :] + 1e-20))
+
+    x = jnp.zeros_like(b)
+    r = b
+    z = M(r)
+    p = z
+    rz = jnp.einsum("kng,kng->kn", r, z)
+
+    def body(state):
+        x, r, z, p, rz, it = state
+        Ap = A(p)
+        pAp = jnp.einsum("kng,kng->kn", p, Ap)
+        alpha = jnp.where(jnp.abs(pAp) > 1e-30, rz / pAp, 0.0)
+        x = x + alpha[:, :, None] * p
+        r = r - alpha[:, :, None] * Ap
+        z = M(r)
+        rz_new = jnp.einsum("kng,kng->kn", r, z)
+        beta = jnp.where(jnp.abs(rz) > 1e-30, rz_new / rz, 0.0)
+        p = z + beta[:, :, None] * p
+        return x, r, z, p, rz_new, it + 1
+
+    def cond(state):
+        _, r, _, _, _, it = state
+        resmax = jnp.max(jnp.linalg.norm(r, axis=-1))
+        return jnp.logical_and(it < maxiter, resmax > tol)
+
+    state = jax.lax.while_loop(cond, body, (x, r, z, p, rz, jnp.asarray(0)))
+    return Pc(state[0])
+
+
+def _dV_times_U(sd: SplitTermsData, dV, U, fft_size, volume):
+    """Realified (dV psi) for a real grid potential dV [nspin, grid]."""
+    from ..ops.engine_split import gather_cube_split, scatter_cube_split
+    from ..kernels.dft_matmul import dft3
+    nG = sd.kin.shape[1]
+    xy = jnp.stack([U[..., :nG], U[..., nG:]], axis=-1)
+    dV_k = dV[sd.kspin]                                   # [nk, grid]
+    cube = scatter_cube_split(xy, sd.Gidx, sd.mask, fft_size)
+    psir = dft3(cube, sign=+1)                            # [nk,nb,grid,2]
+    prod = dV_k[:, None, :, :, :, None] * psir
+    back = dft3(prod, sign=-1) / float(np.prod(fft_size))
+    out = gather_cube_split(back, sd.Gidx, sd.mask)       # [nk,nb,nG,2]
+    return jnp.concatenate([out[..., 0], out[..., 1]], axis=-1)
+
+
+class SplitChi0Context(NamedTuple):
+    """Bundle for repeated chi0 applies at a fixed split-SCF state."""
+    sd: SplitTermsData
+    V: jnp.ndarray
+    U: jnp.ndarray
+    occupation: jnp.ndarray
+    eigenvalues: jnp.ndarray
+    kin2: jnp.ndarray
+    mask2: jnp.ndarray
+
+
+def make_chi0_split_context(basis, sd: SplitTermsData, split_res):
+    """Build the context from a self_consistent_field_split result dict."""
+    rho = jnp.asarray(split_res["rho"])
+    V, _ = total_potential_split(basis.terms, sd, rho,
+                                 basis.model.unit_cell_volume)
+    mask2 = jnp.concatenate([sd.mask, sd.mask], axis=-1)
+    kin2 = jnp.concatenate([sd.kin, sd.kin], axis=-1)
+    return SplitChi0Context(
+        sd=sd, V=V, U=jnp.asarray(split_res["U"]),
+        occupation=jnp.asarray(split_res["occupation"], dtype=V.dtype),
+        eigenvalues=jnp.asarray(split_res["eigenvalues"], dtype=V.dtype),
+        kin2=kin2, mask2=mask2)
+
+
+def apply_chi0_split_ctx(basis, ctx: SplitChi0Context, delta_V,
+                         tol=1e-6, occupation_threshold=1e-8,
+                         band_chunk=None):
+    """delta_rho = chi_0 delta_V, all-real device code (T=0 response)."""
+    model = basis.model
+    fft_size = basis.fft_size
+    volume = model.unit_cell_volume
+    nspin = model.n_spin_components
+    sd = ctx.sd
+    dt = ctx.V.dtype
+
+    occ = ctx.occupation
+    occ_mask = occ > occupation_threshold
+    U_occ = ctx.U * occ_mask[:, :, None]
+    occ_w = jnp.where(occ_mask, occ, 0.0)
+
+    ham = make_split_ham(sd, ctx.V)
+    A = lambda u: apply_H_split(ham, u, fft_size, volume,
+                                band_chunk=band_chunk)
+
+    dVj = jnp.asarray(delta_V, dtype=dt)
+    rhs = _dV_times_U(sd, dVj, U_occ, fft_size, volume) \
+        * occ_mask[:, :, None]
+    dpsi = sternheimer_split(A, U_occ, ctx.eigenvalues, rhs, ctx.kin2,
+                             ctx.mask2, tol=tol)
+    dpsi = dpsi * occ_mask[:, :, None]
+
+    # drho = sum 2 w f Re(psi* dpsi)(r): split real-space fields
+    from ..ops.engine_split import scatter_cube_split
+    from ..kernels.dft_matmul import dft3
+    nG = sd.kin.shape[1]
+
+    def to_real(Uv):
+        xy = jnp.stack([Uv[..., :nG], Uv[..., nG:]], axis=-1)
+        cube = scatter_cube_split(xy, sd.Gidx, sd.mask, fft_size)
+        return dft3(cube, sign=+1)                     # [nk, nb, grid, 2]
+
+    psir = to_real(U_occ)          # = N * ifftn values
+    dpsir = to_real(dpsi)
+    # complex formula: 2 (N/sqrt(vol))^2 Re(psi* dpsi) with ifftn-scaled
+    # fields; to_real carries an extra factor N each -> net 2/vol
+    re_prod = jnp.sum(psir * dpsir, axis=-1)
+    w = sd.kweights[:, None] * occ_w
+    drho_k = (2.0 / volume) * jnp.einsum("kn,knxyz->kxyz", w, re_prod)
+    if nspin == 1:
+        return jnp.sum(drho_k, axis=0)[None]
+    sel = jax.nn.one_hot(sd.kspin, nspin, dtype=drho_k.dtype)
+    return jnp.einsum("ks,kxyz->sxyz", sel, drho_k)

@@ -1,0 +1,63 @@
+"""Split-real (chip-path) chi0 vs the complex apply_chi0.
+
+On-chip linear response (VERDICT #1's remaining on-chip gap): the
+Sternheimer solve runs in realified J-adapted algebra with only real
+device ops.  Same-state comparison against the complex path.
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import dftk_tpu as dftk
+from dftk_tpu.ops.engine_split import prepare_split_data, realify_orbitals
+from dftk_tpu.response.chi0 import apply_chi0, make_chi0_context
+from dftk_tpu.response.chi0_split import (apply_chi0_split_ctx,
+                                          make_chi0_split_context)
+
+from testcases import make_silicon_model
+
+
+@pytest.fixture(scope="module")
+def si_state():
+    m = make_silicon_model()
+    basis = dftk.PlaneWaveBasis(m, Ecut=6.0, kgrid=(2, 2, 2),
+                                fft_size=(16, 16, 16))
+    res = dftk.self_consistent_field(basis, tol=1e-12, maxiter=60)
+    r = basis.r_cube
+    dV = 0.1 * (np.cos(2 * np.pi * r[..., 0])
+                + np.sin(2 * np.pi * (r[..., 1] + r[..., 2])))[None]
+    return basis, res, jnp.asarray(dV)
+
+
+def _split_res(res, dtype):
+    U = realify_orbitals(jnp.asarray(res.psi)).astype(dtype)
+    nb = res.psi.shape[1]
+    # realify_orbitals gives the PAIRED layout (2nb rows); keep the first
+    # nb rows, which are exactly the csplit representation [x; y]
+    U = U[:, :nb]
+    return dict(U=U, occupation=np.asarray(res.occupation),
+                eigenvalues=np.asarray(res.eigenvalues), rho=res.rho)
+
+
+def test_chi0_split_matches_complex_f64(si_state):
+    basis, res, dV = si_state
+    ctx_c = make_chi0_context(res, basis)
+    drho_c = np.asarray(apply_chi0(ctx_c, basis, dV, tol=1e-11))
+
+    sd = prepare_split_data(basis, dtype=jnp.float64)
+    ctx_s = make_chi0_split_context(basis, sd, _split_res(res, jnp.float64))
+    drho_s = np.asarray(apply_chi0_split_ctx(basis, ctx_s, dV, tol=1e-11))
+    assert np.abs(drho_s - drho_c).max() < 1e-9 * max(
+        1.0, np.abs(drho_c).max())
+
+
+def test_chi0_split_f32(si_state):
+    basis, res, dV = si_state
+    ctx_c = make_chi0_context(res, basis)
+    drho_c = np.asarray(apply_chi0(ctx_c, basis, dV, tol=1e-11))
+    sd = prepare_split_data(basis, dtype=jnp.float32)
+    sr = _split_res(res, jnp.float32)
+    ctx_s = make_chi0_split_context(basis, sd, sr)
+    drho_s = np.asarray(apply_chi0_split_ctx(basis, ctx_s, dV, tol=1e-4))
+    scale = np.abs(drho_c).max()
+    assert np.abs(drho_s - drho_c).max() < 5e-4 * scale
