@@ -177,3 +177,54 @@ def apply_chi0_split_ctx(basis, ctx: SplitChi0Context, delta_V,
         return jnp.sum(drho_k, axis=0)[None]
     sel = jax.nn.one_hot(sd.kspin, nspin, dtype=drho_k.dtype)
     return jnp.einsum("ks,kxyz->sxyz", sel, drho_k)
+
+
+def apply_kernel_split(basis, sd: SplitTermsData, rho0, drho):
+    """K drho = d(V_H + V_xc)/drho . drho with split-real device ops."""
+    from ..ops.engine_split import xc_energy_split
+    from ..kernels.dft_matmul import dft3_real_input, idft3_real_output
+    model = basis.model
+    terms = basis.terms
+    vol = model.unit_cell_volume
+
+    tot = jnp.sum(drho, axis=0)
+    dVH = idft3_real_output(sd.hartree_coeffs[..., None]
+                            * dft3_real_input(tot, sign=-1))
+    dV = jnp.broadcast_to(dVH, drho.shape) \
+        * (terms.hartree_scaling or 0.0)
+    if terms.xc:
+        N = drho.shape[-1] * drho.shape[-2] * drho.shape[-3]
+        dvol = vol / N
+
+        def vxc(r):
+            if sd.rho_core is not None:
+                r = r + sd.rho_core[None] / r.shape[0]
+            return jax.grad(lambda rr: xc_energy_split(
+                terms.xc, rr, sd.G_cart, vol, terms.xc_scaling))(r) / dvol
+        _, dVxc = jax.jvp(vxc, (rho0,), (drho,))
+        dV = dV + dVxc
+    return dV
+
+
+def solve_dyson_split(basis, ctx: SplitChi0Context, dV_ext, rho0,
+                      tol=1e-6, maxiter=40, sternheimer_tol=1e-6,
+                      band_chunk=None, verbose=False):
+    """Self-consistent density response on the split (chip) engine.
+
+    Solves (1 - chi0 K) drho = chi0 dV_ext with a host-side GMRES over
+    jitted all-real device matvecs.  Returns (drho, dV_tot).
+    """
+    from .hessian import gmres
+    rho0 = jnp.asarray(rho0, dtype=ctx.V.dtype)
+
+    chi0_f = jax.jit(lambda dv: apply_chi0_split_ctx(
+        basis, ctx, dv, tol=sternheimer_tol, band_chunk=band_chunk))
+    kern_f = jax.jit(lambda dr: apply_kernel_split(basis, ctx.sd, rho0, dr))
+
+    b = chi0_f(jnp.asarray(dV_ext, dtype=ctx.V.dtype))
+
+    def matvec(drho):
+        return drho - chi0_f(kern_f(drho))
+
+    drho = gmres(matvec, b, tol=tol, maxiter=maxiter, verbose=verbose)
+    return drho, jnp.asarray(dV_ext, dtype=ctx.V.dtype) + kern_f(drho)

@@ -61,3 +61,18 @@ def test_chi0_split_f32(si_state):
     drho_s = np.asarray(apply_chi0_split_ctx(basis, ctx_s, dV, tol=1e-4))
     scale = np.abs(drho_c).max()
     assert np.abs(drho_s - drho_c).max() < 5e-4 * scale
+
+
+def test_dyson_split_matches_complex(si_state):
+    """Self-consistent response on the split engine (chip path): the
+    split-real Dyson solve equals the complex solve_dyson."""
+    from dftk_tpu.response.chi0_split import (make_chi0_split_context,
+                                              solve_dyson_split)
+    from dftk_tpu.response.hessian import solve_dyson
+    basis, res, dV = si_state
+    drho_c, _ = solve_dyson(res, dV, tol=1e-9, sternheimer_tol=1e-11)
+    sd = prepare_split_data(basis, dtype=jnp.float64)
+    ctx = make_chi0_split_context(basis, sd, _split_res(res, jnp.float64))
+    drho_s, _ = solve_dyson_split(basis, ctx, dV, res.rho, tol=1e-9,
+                                  sternheimer_tol=1e-11)
+    assert np.abs(np.asarray(drho_s) - np.asarray(drho_c)).max() < 1e-10
