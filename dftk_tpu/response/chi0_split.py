@@ -129,10 +129,14 @@ def make_chi0_split_context(basis, sd: SplitTermsData, split_res):
         kin2=kin2, mask2=mask2)
 
 
-def apply_chi0_split_ctx(basis, ctx: SplitChi0Context, delta_V,
+def apply_chi0_split_ctx(basis, ctx: SplitChi0Context, delta_V=None,
                          tol=1e-6, occupation_threshold=1e-8,
-                         band_chunk=None):
-    """delta_rho = chi_0 delta_V, all-real device code (T=0 response)."""
+                         band_chunk=None, rhs=None):
+    """delta_rho = chi_0 delta_V, all-real device code (T=0 response).
+
+    Either delta_V [nspin, grid] (a local potential perturbation) or a
+    general realified rhs = dH psi [nk, nb, 2nG] may be given (e.g. the
+    displacement perturbations of the phonon DFPT)."""
     model = basis.model
     fft_size = basis.fft_size
     volume = model.unit_cell_volume
@@ -149,9 +153,10 @@ def apply_chi0_split_ctx(basis, ctx: SplitChi0Context, delta_V,
     A = lambda u: apply_H_split(ham, u, fft_size, volume,
                                 band_chunk=band_chunk)
 
-    dVj = jnp.asarray(delta_V, dtype=dt)
-    rhs = _dV_times_U(sd, dVj, U_occ, fft_size, volume) \
-        * occ_mask[:, :, None]
+    if rhs is None:
+        dVj = jnp.asarray(delta_V, dtype=dt)
+        rhs = _dV_times_U(sd, dVj, U_occ, fft_size, volume)
+    rhs = rhs * occ_mask[:, :, None]
     dpsi = sternheimer_split(A, U_occ, ctx.eigenvalues, rhs, ctx.kin2,
                              ctx.mask2, tol=tol)
     dpsi = dpsi * occ_mask[:, :, None]
