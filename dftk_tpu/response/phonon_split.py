@@ -229,11 +229,17 @@ def dynmat_dfpt_gamma_split(basis, sd: SplitTermsData, split_res,
     dvloc = _dvloc_grids_real(basis)
     rhs_list = _bare_rhs_split(basis, ctx, fd, dvloc)
 
-    chi0_f = jax.jit(lambda r: apply_chi0_split_ctx(
-        basis, ctx, rhs=r, tol=sternheimer_tol, band_chunk=band_chunk))
-    chi0_dv = jax.jit(lambda dv: apply_chi0_split_ctx(
-        basis, ctx, dv, tol=sternheimer_tol, band_chunk=band_chunk))
-    kern_f = jax.jit(lambda dr: apply_kernel_split(basis, sd, rho0, dr))
+    # ctx/sd ride as jit ARGUMENTS: closed-over device arrays become HLO
+    # constants, which remote compile services reject for big states
+    _chi0_rhs_j = jax.jit(lambda c_, r: apply_chi0_split_ctx(
+        basis, c_, rhs=r, tol=sternheimer_tol, band_chunk=band_chunk))
+    _chi0_dv_j = jax.jit(lambda c_, dv: apply_chi0_split_ctx(
+        basis, c_, dv, tol=sternheimer_tol, band_chunk=band_chunk))
+    _kern_j = jax.jit(lambda sd_, r0_, dr: apply_kernel_split(
+        basis, sd_, r0_, dr))
+    chi0_f = lambda r: _chi0_rhs_j(ctx, r)
+    chi0_dv = lambda dv: _chi0_dv_j(ctx, dv)
+    kern_f = lambda dr: _kern_j(sd, rho0, dr)
 
     def matvec(drho):
         return drho - chi0_dv(kern_f(drho))
@@ -248,14 +254,23 @@ def dynmat_dfpt_gamma_split(basis, sd: SplitTermsData, split_res,
     U_occ = U * occ_mask[:, :, None]
 
     @jax.jit
-    def screened_dpsi(rhs, drho):
-        dV_ind = kern_f(drho)
-        rhs_tot = rhs + _dV_times_U(sd, dV_ind, U, basis.fft_size,
+    def _screened_j(ctx_, rhs, drho):
+        dV_ind = apply_kernel_split(basis, ctx_.sd, rho0, drho)
+        rhs_tot = rhs + _dV_times_U(ctx_.sd, dV_ind, ctx_.U, basis.fft_size,
                                     model.unit_cell_volume)
-        dpsi = sternheimer_split(A, U_occ, ctx.eigenvalues,
-                                 rhs_tot * occ_mask[:, :, None],
-                                 ctx.kin2, ctx.mask2, tol=sternheimer_tol)
-        return dpsi * occ_mask[:, :, None]
+        om = ctx_.occupation > 1e-8
+        Uo = ctx_.U * om[:, :, None]
+        ham_ = make_split_ham(ctx_.sd, ctx_.V)
+        A_ = lambda u: apply_H_split(ham_, u, basis.fft_size,
+                                     model.unit_cell_volume,
+                                     band_chunk=band_chunk)
+        dpsi = sternheimer_split(A_, Uo, ctx_.eigenvalues,
+                                 rhs_tot * om[:, :, None],
+                                 ctx_.kin2, ctx_.mask2, tol=sternheimer_tol)
+        return dpsi * om[:, :, None]
+
+    def screened_dpsi(rhs, drho):
+        return _screened_j(ctx, rhs, drho)
 
     dpsi_all = []
     for rhs in rhs_list:
