@@ -79,3 +79,41 @@ def test_lobpcg_matches_dense():
                            basis.data.mask, nb)
     np.testing.assert_allclose(np.asarray(res.eigenvalues),
                                np.asarray(w_dense), atol=1e-7)
+
+
+@pytest.mark.slow
+def test_silicon_redhf_golden():
+    """Reduced Hartree-Fock (no XC) vs ABINIT (reference
+    test/silicon_redHF.jl:25): T=0.05 smeared metal-like silicon,
+    Ecut=25, same irreducible k-set.  Like the reference, only the
+    EIGENVALUES are compared (test_etot=false upstream: the ABINIT total
+    uses a different entropy accounting), ignoring the last 2 bands."""
+    from testcases import silicon
+    ref_evals = [
+        [0.17899118507651615, 0.6327279881297371, 0.6327279881326648,
+         0.6327279881356039, 0.706557757783828, 0.7065577577877139,
+         0.7065577577915956, 0.7397951816714727, 0.8532089291297222,
+         0.8978914445971602],
+        [0.23220003663858457, 0.42189409862896016, 0.5921574659414509,
+         0.5921574659446628, 0.672858189872362, 0.7372271903827399,
+         0.7372271903861028, 0.8643640848936627, 0.9011792204214196,
+         0.9011792204356576],
+        [0.2517502116803524, 0.445206025448218, 0.5328870916963034,
+         0.532887091701182, 0.6211365856991057, 0.661989858948651,
+         0.8863951918546257, 0.8863951918584175, 0.973261179805555,
+         0.9771287508158364],
+        [0.30685586314464863, 0.376375429632464, 0.4438764716222098,
+         0.5459065154292047, 0.651122698647485, 0.8164293660861612,
+         0.8515978828421051, 0.8735213568005982, 0.8807275612483988,
+         0.8886454931307763],
+    ]
+    Si = dftk.ElementPsp.from_symbol("Si", psp=silicon["psp"])
+    model = dftk.model_atomic(silicon["lattice"], [Si, Si],
+                              silicon["positions"], temperature=0.05)
+    basis = dftk.PlaneWaveBasis(model, Ecut=25.0, kgrid=silicon["kgrid"],
+                                fft_size=(35, 35, 35))
+    res = dftk.self_consistent_field(basis, tol=1e-10, n_bands=10,
+                                     n_extra_bands=4, maxiter=60)
+    assert res.converged
+    ev = np.asarray(res.eigenvalues)[:, :8]        # n_ignored=2 upstream
+    assert np.abs(ev - np.array(ref_evals)[:, :8]).max() < 1e-5
