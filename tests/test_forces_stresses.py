@@ -147,3 +147,36 @@ def test_nlcc_stress_energy_consistency():
     eps = 1e-6
     fd = float((f(eps) - f(-eps)) / (2 * eps))
     assert abs(g - fd) < 1e-6 * max(1.0, abs(fd))
+
+
+@pytest.mark.slow
+def test_forces_spin_temperature():
+    """Smeared spin-polarized silicon: AD forces vs finite differences
+    (reference test/forces.jl 'Forces silicon (spin, temperature)')."""
+    from testcases import silicon
+    Si = dftk.ElementPsp.from_symbol("Si", psp=silicon["psp"])
+
+    def run(pos):
+        m = dftk.model_DFT(silicon["lattice"], [Si, Si], pos,
+                           functionals=["lda_x", "lda_c_pw"],
+                           temperature=0.03,
+                           spin_polarization="collinear")
+        b = dftk.PlaneWaveBasis(m, Ecut=7.0, kgrid=(2, 1, 2),
+                                fft_size=(18, 18, 18))
+        from dftk_tpu.ops.density import guess_density
+        rho0 = guess_density(b, magnetic_moments=[1.0, -1.0])
+        return b, dftk.self_consistent_field(b, tol=1e-11, maxiter=80,
+                                             rho=rho0)
+
+    pos = [np.array([0.126, 0.125, 0.124]), -np.ones(3) / 8]
+    basis, res = run(pos)
+    F = compute_forces(res)
+    eps = 1e-4
+    Es = []
+    for s in (+1, -1):
+        p2 = [p.copy() for p in pos]
+        p2[0][1] += s * eps
+        _, r2 = run(p2)
+        Es.append(r2.total_energy)
+    fd = -(Es[0] - Es[1]) / (2 * eps)
+    assert abs(fd - F[0, 1]) < 2e-5, (fd, F[0, 1])
