@@ -280,7 +280,7 @@ def _r2scan_wrapper(rho, sigma, tau=None):
 # environment) to the paper's design target: F(s, nu=0) reproduces the PBE
 # enhancement factor.  The refit matches PBE to ~1e-5 for s in [0, 30].
 #
-# Exact limits (verified in tests/test_xc.py): F(s=0, nu) equals the analytic
+# Exact limits (verified in tests/test_r2scan_hse.py): F(s=0, nu) equals the
 # erfc-screened LDA attenuation (model-hole accuracy ~1%); F(s, nu->0) equals
 # PBE; F(s, nu->inf) -> 0.
 
