@@ -46,8 +46,10 @@ from .postprocess.unfold import unfold_bz
 from .postprocess.geometry import optimize_geometry
 from .postprocess.dos import compute_dos, compute_ldos
 from .postprocess.phonon import phonon_modes_finite_diff
-from .response.hessian import compute_polarizability, solve_dyson
+from .response.hessian import (compute_polarizability, solve_dyson,
+                               solve_omega_plus_k)
 from .response.chi0 import apply_chi0, make_chi0_context
+from .postprocess.elastic_response import elastic_tensor_response
 from .io.scfres import load_scfres, save_scfres, todict
 from .io.vtk import save_vts
 from .standardize import find_primitive, minkowski_reduce, standardize_atoms

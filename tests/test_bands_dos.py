@@ -41,7 +41,7 @@ def test_dos_integrates_to_electron_count(si_scf):
 
 def test_pdos_silicon():
     import os
-    UPF = "/root/reference/test/pseudos/gth/Si.pbe-hgh.upf"
+    UPF = str(__import__("pathlib").Path(__file__).parent / "data/pseudos/gth/Si.pbe-hgh.upf")
     if not os.path.exists(UPF):
         pytest.skip("reference UPF not available")
     from testcases import silicon

@@ -65,7 +65,7 @@ def test_ewald_numpy_gradient_matches_jax():
     assert np.abs(gnp - np.asarray(gjx)).max() < 1e-12
 
 
-_C_UPF = "/root/reference/test/pseudos/C_m.upf"
+_C_UPF = str(__import__("pathlib").Path(__file__).parent / "data/pseudos/C_m.upf")
 
 
 @pytest.mark.skipif(not __import__("os").path.exists(_C_UPF),

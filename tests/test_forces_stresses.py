@@ -83,7 +83,7 @@ def test_stress_against_finite_differences():
 
 import os
 
-_C_UPF = "/root/reference/test/pseudos/C_m.upf"
+_C_UPF = str(__import__("pathlib").Path(__file__).parent / "data/pseudos/C_m.upf")
 needs_c_upf = pytest.mark.skipif(not os.path.exists(_C_UPF),
                                  reason="NLCC UPF test file not available")
 

@@ -14,7 +14,7 @@ import dftk_tpu as dftk
 from dftk_tpu.models.psp_hgh import load_psp_hgh
 from dftk_tpu.models.psp_upf import parse_upf, simpson_weights, hankel
 
-UPF_SI = "/root/reference/test/pseudos/gth/Si.pbe-hgh.upf"
+UPF_SI = str(__import__("pathlib").Path(__file__).parent / "data/pseudos/gth/Si.pbe-hgh.upf")
 needs_upf = pytest.mark.skipif(not os.path.exists(UPF_SI),
                                reason="reference UPF file not available")
 

@@ -42,7 +42,7 @@ def test_newton_matches_scf_unsymmetrized():
 
 def test_hubbard_term():
     import os
-    UPF = "/root/reference/test/pseudos/gth/Si.pbe-hgh.upf"
+    UPF = str(__import__("pathlib").Path(__file__).parent / "data/pseudos/gth/Si.pbe-hgh.upf")
     if not os.path.exists(UPF):
         pytest.skip("reference UPF not available")
     from testcases import silicon
@@ -63,7 +63,7 @@ def test_hubbard_term():
 def test_hubbard_occupation_symmetrization():
     """IBZ occupation matrix + symmetrization == full-BZ occupation matrix."""
     import os
-    UPF = "/root/reference/test/pseudos/gth/Si.pbe-hgh.upf"
+    UPF = str(__import__("pathlib").Path(__file__).parent / "data/pseudos/gth/Si.pbe-hgh.upf")
     if not os.path.exists(UPF):
         pytest.skip("reference UPF not available")
     from testcases import silicon
