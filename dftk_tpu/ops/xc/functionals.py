@@ -267,6 +267,16 @@ def _r2scan_wrapper(rho, sigma, tau=None):
     return r2scan_energy(rho, sigma, tau)
 
 
+def _tpss_x_wrapper(rho, sigma, tau=None):
+    from .mgga import tpss_x_energy
+    return tpss_x_energy(rho, sigma, tau)
+
+
+def _tpss_c_wrapper(rho, sigma, tau=None):
+    from .mgga import tpss_c_energy
+    return tpss_c_energy(rho, sigma, tau)
+
+
 # ---------------------------------------------------------------------------
 # HJS omega-PBE short-range exchange (gga_x_wpbeh)
 # ---------------------------------------------------------------------------
@@ -364,6 +374,8 @@ FUNCTIONALS = {
     "gga_c_pbe_sol": Functional("gga_c_pbe_sol", "gga", gga_c_pbe_sol_energy),
     "mgga_x_scan": Functional("mgga_x_scan", "mgga", _scan_wrapper),
     "mgga_x_r2scan": Functional("mgga_x_r2scan", "mgga", _r2scan_wrapper),
+    "mgga_x_tpss": Functional("mgga_x_tpss", "mgga", _tpss_x_wrapper),
+    "mgga_c_tpss": Functional("mgga_c_tpss", "mgga", _tpss_c_wrapper),
     "gga_x_wpbeh": make_gga_x_wpbeh(0.11),
 }
 
@@ -375,6 +387,7 @@ FUNCTIONAL_SETS = {
     # SCAN/r2SCAN exchange + correlation are evaluated together (shared alpha)
     "SCAN": ("mgga_x_scan",),
     "r2SCAN": ("mgga_x_r2scan",),
+    "TPSS": ("mgga_x_tpss", "mgga_c_tpss"),
 }
 
 

@@ -255,6 +255,138 @@ def _r2scan_ec(rs, zeta, p, abar):
     return ec1 + fc * (ec0 - ec1)
 
 
+# ===========================================================================
+# TPSS (Tao, Perdew, Staroverov, Scuseria, PRL 91, 146401 (2003))
+# ===========================================================================
+# The reference dispatches :mgga_x_tpss / :mgga_c_tpss to libxc
+# (src/DispatchFunctional.jl; exercised by test/hamiltonian_consistency.jl:157
+# and the ABINIT input test/testcases_ABINIT/silicon_TPSS).  Transcribed here
+# from the published paper; exact constraints (uniform gas -> LDA, GE2
+# slowly-varying exchange expansion 1 + 10/81 p) are asserted in
+# tests/test_tpss.py.
+
+_TP_KAPPA = 0.804
+_TP_B = 0.40
+_TP_C = 1.59096
+_TP_E = 1.537
+_TP_MU = 0.21951
+_TP_D = 2.8
+
+
+def _tpss_fx_unpol(rho, sigma, tau):
+    """TPSS exchange enhancement * LDA exchange for one spin channel."""
+    r = _safe_rho(rho)
+    sig = jnp.maximum(sigma, 1e-30)
+    t = jnp.maximum(tau, 1e-30)
+
+    kf = (3 * math.pi ** 2 * r) ** (1.0 / 3.0)
+    p = sig / _den_floor((2 * kf * r) ** 2)
+    tau_w = sig / (8 * r)
+    tau_unif = 0.3 * (3 * math.pi ** 2) ** (2.0 / 3.0) * r ** (5.0 / 3.0)
+    z = tau_w / jnp.maximum(t, tau_w)            # tau >= tauW exactly
+    z = jnp.clip(z, 0.0, 1.0)
+    alpha = jnp.maximum(t - tau_w, 0.0) / jnp.maximum(tau_unif, 1e-30)
+
+    # qtilde_b (paper eq. 7)
+    qb = (0.45 * (alpha - 1.0)
+          / jnp.sqrt(1.0 + _TP_B * alpha * (alpha - 1.0))
+          + 2.0 * p / 3.0)
+
+    z2 = z * z
+    mzs = (0.6 * z) ** 2                          # (3 z / 5)^2
+    sqe = math.sqrt(_TP_E)
+    x = ((10.0 / 81.0 + _TP_C * z2 / (1.0 + z2) ** 2) * p
+         + 146.0 / 2025.0 * qb * qb
+         - 73.0 / 405.0 * qb * jnp.sqrt(0.5 * mzs ** 2 + 0.5 * p * p)
+         + (10.0 / 81.0) ** 2 / _TP_KAPPA * p * p
+         + 2.0 * sqe * (10.0 / 81.0) * mzs
+         + _TP_E * _TP_MU * p ** 3) / (1.0 + sqe * p) ** 2
+    Fx = 1.0 + _TP_KAPPA - _TP_KAPPA / (1.0 + x / _TP_KAPPA)
+    return _CX * r ** (4.0 / 3.0) * Fx
+
+
+def tpss_x_energy(rho, sigma, tau):
+    """TPSS exchange energy density per volume (spin-scaled)."""
+    nspin = rho.shape[0]
+    if nspin == 1:
+        return _tpss_fx_unpol(rho[0], sigma[0], tau[0])
+    return (_tpss_fx_unpol(2 * rho[0], 4 * sigma[0], 2 * tau[0])
+            + _tpss_fx_unpol(2 * rho[1], 4 * sigma[2], 2 * tau[1])) / 2
+
+
+def _pbe_eps_c(rho2, sigma3):
+    """PBE correlation energy PER PARTICLE for a [2, ...] spin pair."""
+    from .functionals import _gga_c_pbe, _PBE_BETA
+    e_den = _gga_c_pbe(rho2, sigma3, _PBE_BETA)
+    return e_den / _safe_rho(jnp.sum(rho2, axis=0))
+
+
+def tpss_c_energy(rho, sigma, tau):
+    """TPSS correlation energy density per volume (revPKZB based).
+
+    rho/tau [nspin, ...], sigma [1 or 3, ...] as for the other mGGAs.
+    """
+    nspin = rho.shape[0]
+    if nspin == 1:
+        rho_tot = _safe_rho(rho[0])
+        sig_tot = jnp.maximum(sigma[0], 1e-30)
+        tau_tot = jnp.maximum(tau[0], 1e-30)
+        zeta = jnp.zeros_like(rho_tot)
+        xi2 = jnp.zeros_like(rho_tot)
+        ra = rho_tot / 2
+        rb = rho_tot / 2
+        siga = sig_tot / 4
+        sigb = sig_tot / 4
+        sigab = sig_tot / 4
+    else:
+        ra, rb = _safe_rho(rho[0]), _safe_rho(rho[1])
+        rho_tot = ra + rb
+        sig_tot = jnp.maximum(sigma[0] + 2 * sigma[1] + sigma[2], 1e-30)
+        tau_tot = jnp.maximum(tau[0] + tau[1], 1e-30)
+        zeta = jnp.clip((rho[0] - rho[1]) / rho_tot, -1 + 1e-12, 1 - 1e-12)
+        siga, sigb, sigab = sigma[0], sigma[2], sigma[1]
+        # |grad zeta|^2 = 4 (rb^2 s_aa - 2 ra rb s_ab + ra^2 s_bb) / rho^4
+        gz2 = 4.0 * jnp.maximum(
+            rb ** 2 * sigma[0] - 2 * ra * rb * sigma[1] + ra ** 2 * sigma[2],
+            0.0) / rho_tot ** 4
+        kf2 = (3 * math.pi ** 2 * rho_tot) ** (2.0 / 3.0)
+        xi2 = gz2 / _den_floor(4.0 * kf2)
+
+    tau_w = sig_tot / (8 * rho_tot)
+    z = jnp.clip(tau_w / jnp.maximum(tau_tot, tau_w), 0.0, 1.0)
+
+    # C(zeta, xi) (paper eq. 13)
+    z2_ = zeta * zeta
+    C0 = 0.53 + 0.87 * z2_ + 0.50 * z2_ ** 2 + 2.26 * z2_ ** 3
+    opz = jnp.maximum(1 + zeta, 1e-12)
+    omz = jnp.maximum(1 - zeta, 1e-12)
+    Cz = C0 / (1.0 + xi2 * (opz ** (-4.0 / 3.0) + omz ** (-4.0 / 3.0))
+               / 2.0) ** 4
+
+    eps_pbe = _pbe_eps_c(jnp.stack([ra, rb]),
+                         jnp.stack([siga, sigab, sigb]))
+
+    # per-spin fully-polarized PBE pieces, floored by the full eps
+    zero = jnp.zeros_like(ra)
+    eps_a = _pbe_eps_c(jnp.stack([ra, zero]),
+                       jnp.stack([jnp.maximum(siga, 1e-30), zero, zero]))
+    eps_b = _pbe_eps_c(jnp.stack([rb, zero]),
+                       jnp.stack([jnp.maximum(sigb, 1e-30), zero, zero]))
+    eps_a = jnp.maximum(eps_a, eps_pbe)
+    eps_b = jnp.maximum(eps_b, eps_pbe)
+
+    zz = z * z
+    eps_rev = (eps_pbe * (1.0 + Cz * zz)
+               - (1.0 + Cz) * zz * (ra / rho_tot * eps_a
+                                    + rb / rho_tot * eps_b))
+    return rho_tot * eps_rev * (1.0 + _TP_D * eps_rev * zz * z)
+
+
+def tpss_energy(rho, sigma, tau):
+    """Combined TPSS XC energy density per volume."""
+    return tpss_x_energy(rho, sigma, tau) + tpss_c_energy(rho, sigma, tau)
+
+
 def r2scan_energy(rho, sigma, tau):
     """r2SCAN XC energy density per volume.
 

@@ -75,3 +75,50 @@ def test_term_consistency(name, terms, funcs):
     fd = float((Ep - Em) / (2 * eps))
     assert abs(fd - analytic) < 1e-6 * max(1.0, abs(analytic)), \
         (name, fd, analytic)
+
+
+# ---------------------------------------------------------------------------
+# meta-GGA: tau enters the energy through psi, H gains the DivAgrad operator
+# (reference hamiltonian_consistency.jl:157 tests mgga_x_tpss the same way)
+# ---------------------------------------------------------------------------
+
+def _energy_psi_mgga(basis, psi):
+    from dftk_tpu.ops.density import compute_kinetic_energy_density
+    model = basis.model
+    bd = basis.data
+    occ = jnp.full(psi.shape[:2], float(model.filled_occupation))
+    rho = compute_density(bd, psi, occ, basis.fft_size,
+                          model.unit_cell_volume, 1)
+    tau = compute_kinetic_energy_density(bd, bd.Gpk_cart, psi, occ,
+                                         basis.fft_size,
+                                         model.unit_cell_volume, 1)
+    V, Vtau, energies = hamops.total_potential(
+        basis.terms, rho, jnp.asarray(basis.G_cube_cart),
+        model.unit_cell_volume, tau=tau)
+    ham = hamops.build_ham(bd, basis.terms.data, V, Vtau=Vtau)
+    energies.update(hamops.psi_energies(ham, basis.terms, psi, occ,
+                                        bd.kweights))
+    return sum(energies.values()), ham, occ
+
+
+@pytest.mark.parametrize("funcs", [("mgga_x_tpss",), ("mgga_c_tpss",),
+                                   ("mgga_x_scan",)],
+                         ids=["tpss_x", "tpss_c", "scan"])
+def test_mgga_consistency(funcs):
+    basis = _setup([dftk.Kinetic(scaling_factor=0.0)], funcs)
+    psi = random_orbitals(basis, 4, seed=3)
+    delta = random_orbitals(basis, 4, seed=11) * 0.1
+
+    E0, ham, occ = _energy_psi_mgga(basis, psi)
+    hpsi = hamops.apply_H(ham, psi, basis.fft_size,
+                          basis.model.unit_cell_volume)
+    w = basis.data.kweights[:, None] * occ
+    analytic = 2 * float(jnp.sum(
+        w * jnp.real(jnp.einsum("kng,kng->kn", delta.conj(), hpsi))))
+
+    eps = 1e-5
+    Ep, _, _ = _energy_psi_mgga(basis, psi + eps * delta)
+    Em, _, _ = _energy_psi_mgga(basis, psi - eps * delta)
+    fd = float((Ep - Em) / (2 * eps))
+    assert abs(fd - analytic) < 2e-6 * max(1.0, abs(analytic)), \
+        (funcs, fd, analytic)
