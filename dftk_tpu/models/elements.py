@@ -108,6 +108,14 @@ class ElementPsp(Element):
     def core_density_fourier(self, p):
         return self.psp.core_density_fourier(p)
 
+    def has_core_tau(self):
+        """Core kinetic-energy density present (mGGA NLCC; reference
+        has_core_kinetic_energy_density, src/density_methods.jl:225)."""
+        return getattr(self.psp, "has_core_tau", lambda: False)()
+
+    def core_tau_fourier(self, p):
+        return self.psp.core_tau_fourier(p)
+
     def charge_nuclear(self):
         return self.Z
 

@@ -121,6 +121,17 @@ class PspLinComb:
                 tot = tot + c * psp.core_density_fourier(p)
         return tot
 
+    def has_core_tau(self):
+        return any(getattr(p, "has_core_tau", lambda: False)()
+                   for p in self.psps)
+
+    def core_tau_fourier(self, p):
+        tot = 0.0
+        for c, psp in zip(self.coefficients, self.psps):
+            if getattr(psp, "has_core_tau", lambda: False)():
+                tot = tot + c * psp.core_tau_fourier(p)
+        return tot
+
 
 def virtual_crystal_approximation(el1, el2, x, symbol=None):
     """ElementPsp for the alloy (1-x)*el1 + x*el2 (VCA).

@@ -191,6 +191,7 @@ class PspUpf:
     pswfc_labels: tuple
     r2_rho_ion: tuple
     r2_rho_core: tuple
+    r2_tau_core: tuple = ()         # NLCC core kinetic-energy density (mGGA)
     identifier: str = ""
     description: str = ""
 
@@ -308,11 +309,30 @@ class PspUpf:
         return _hankel_traced(self._r, np.asarray(self.r2_rho_core), 0,
                               psq, self._w)
 
+    def core_tau_fourier(self, p):
+        """l=0 Hankel transform of the core kinetic-energy density tau_core
+        (reference eval_psp_core_kinetic_energy_density_fourier,
+        src/pseudo/PspUpf.jl:302-306); needed for mGGA + NLCC psps."""
+        return hankel(self._r, np.asarray(self.r2_tau_core), 0, p,
+                      weights=self._w)
+
+    def core_tau_fourier_sq(self, psq):
+        """core_tau_fourier from p^2; traceable for jax inputs (lattice AD)."""
+        if _is_np(psq):
+            return self.core_tau_fourier(np.sqrt(np.maximum(psq, 0.0)))
+        return _hankel_traced(self._r, np.asarray(self.r2_tau_core), 0,
+                              psq, self._w)
+
     def has_valence_density(self):
         return any(v != 0 for v in self.r2_rho_ion)
 
     def has_core_density(self):
         return any(v != 0 for v in self.r2_rho_core)
+
+    def has_core_tau(self):
+        """True if the psp carries a core kinetic-energy density (reference
+        has_core_kinetic_energy_density, src/pseudo/PspUpf.jl:180)."""
+        return any(v != 0 for v in self.r2_tau_core)
 
     def energy_correction(self):
         r = self._r
@@ -397,6 +417,11 @@ def parse_upf(path_or_text, identifier=None) -> PspUpf:
     nlcc = root.find("PP_NLCC")
     r2_rho_core = (r ** 2 * _floats(nlcc.text) if nlcc is not None
                    else np.zeros(len(r)))
+    # Core kinetic-energy density for mGGA-consistent NLCC psps (QE "m"
+    # pseudos); same r^2 scaling as the reference (src/pseudo/PspUpf.jl:158).
+    taumod = root.find("PP_TAUMOD")
+    r2_tau_core = (r ** 2 * _floats(taumod.text) if taumod is not None
+                   else np.zeros(len(r)))
 
     return PspUpf(
         Zion=Zion, lmax=lmax, rgrid=tuple(r), vloc=tuple(vloc),
@@ -405,6 +430,7 @@ def parse_upf(path_or_text, identifier=None) -> PspUpf:
         pswfc_occs=tuple(tuple(x) for x in occs),
         pswfc_labels=tuple(tuple(x) for x in labels),
         r2_rho_ion=tuple(r2_rho_ion), r2_rho_core=tuple(r2_rho_core),
+        r2_tau_core=tuple(r2_tau_core),
         identifier=identifier,
         description=header.get("comment", ""))
 

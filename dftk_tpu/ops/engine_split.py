@@ -260,6 +260,9 @@ def apply_H_split(ham: Ham, U, fft_size, volume, band_chunk=None,
         loc_part = jnp.stack(
             [gather_compact_sep(yr_c, pf.Gidx_c, ham.mask),
              gather_compact_sep(yi_c, pf.Gidx_c, ham.mask)], axis=-1)
+        if ham.Vtau is not None:
+            loc_part = loc_part + _tau_apply_split(ham, xy, fft_size,
+                                                   band_chunk, precision)
         return _assemble_H_out(ham, xy, kin_part, loc_part, precision)
 
     def local_block(xy_blk):
@@ -276,20 +279,66 @@ def apply_H_split(ham: Ham, U, fft_size, volume, band_chunk=None,
             / float(np.prod(fft_size))
         return gather_cube_split(vc, ham.Gidx, ham.mask)
 
+    loc_part = _map_band_chunks(local_block, xy, band_chunk)
+    if ham.Vtau is not None:
+        loc_part = loc_part + _tau_apply_split(ham, xy, fft_size,
+                                               band_chunk, precision)
+    return _assemble_H_out(ham, xy, kin_part, loc_part, precision)
+
+
+def _map_band_chunks(fn, xy, band_chunk):
+    """Apply a shape-preserving band-batched fn in chunks of band_chunk
+    real vectors (bounds the cube-space working set on HBM)."""
     nb = xy.shape[1]
     if band_chunk is None or band_chunk >= nb:
-        loc_part = local_block(xy)
-    else:
-        nblk = -(-nb // band_chunk)
-        pad = nblk * band_chunk - nb
-        xy_p = jnp.pad(xy, ((0, 0), (0, pad), (0, 0), (0, 0)))
-        blocks = jnp.moveaxis(
-            xy_p.reshape(xy.shape[0], nblk, band_chunk, nG, 2), 1, 0)
-        res = jax.lax.map(local_block, blocks)
-        loc_part = jnp.moveaxis(res, 0, 1).reshape(
-            xy.shape[0], nblk * band_chunk, nG, 2)[:, :nb]
+        return fn(xy)
+    nblk = -(-nb // band_chunk)
+    pad = nblk * band_chunk - nb
+    xy_p = jnp.pad(xy, ((0, 0), (0, pad), (0, 0), (0, 0)))
+    blocks = jnp.moveaxis(
+        xy_p.reshape((xy.shape[0], nblk, band_chunk) + xy.shape[2:]), 1, 0)
+    res = jax.lax.map(fn, blocks)
+    out = jnp.moveaxis(res, 0, 1)
+    return out.reshape((xy.shape[0], nblk * band_chunk) + xy.shape[2:])[:, :nb]
 
-    return _assemble_H_out(ham, xy, kin_part, loc_part, precision)
+
+def _tau_apply_split(ham: Ham, xy, fft_size, band_chunk=None, precision=None):
+    """meta-GGA DivAgrad apply in the split representation.
+
+    (H_tau psi)(G') = 1/2 sum_a p'_a F[Vtau F^-1[p_a psi]] with REAL scale
+    factors p_a = (k+G)_a (reference DivAgradOperator,
+    src/terms/operators.jl:145-161) - so each axis is one more local chain
+    wrapped in elementwise scalings, no complex rotation needed.  The three
+    axis channels are stacked along the band axis: ONE chain of 3 nb bands
+    keeps the DFT contraction K large instead of 3 small chains.
+    """
+    p = ham.Gpk                                   # [nk, nG, 3]
+    Vtk = ham.Vtau[ham.kspin]                     # [nk, n1,n2,n3]
+    pf = ham.fft_pruned
+    if pf is not None:
+        Vtk_rev = jnp.transpose(Vtk, (0, 3, 2, 1))
+    nb = xy.shape[1]
+    xy3 = jnp.concatenate(
+        [p[:, None, :, a, None] * xy for a in range(3)], axis=1)
+
+    def chain(blk):
+        if pf is not None:
+            r = sphere_to_real_pruned(blk, pf, ham.mask, precision=precision)
+            vr = Vtk_rev[:, None, :, :, :, None] * r
+            return real_to_sphere_pruned(vr, pf, ham.mask, fft_size,
+                                         precision=precision)
+        cube = scatter_cube_split(blk, ham.Gidx, ham.mask, fft_size)
+        r = dft3(cube, sign=+1, precision=precision)
+        vr = Vtk[:, None, :, :, :, None] * r
+        vc = dft3(vr, sign=-1, precision=precision) / float(np.prod(fft_size))
+        return gather_cube_split(vc, ham.Gidx, ham.mask)
+
+    out3 = _map_band_chunks(chain, xy3,
+                            None if band_chunk is None else 3 * band_chunk)
+    acc = 0.0
+    for a in range(3):
+        acc = acc + p[:, None, :, a, None] * out3[:, a * nb:(a + 1) * nb]
+    return 0.5 * acc
 
 
 def _assemble_H_out(ham: Ham, xy, kin_part, loc_part, precision=None):
@@ -344,6 +393,8 @@ class SplitTermsData(NamedTuple):
     G_cart: jnp.ndarray         # [n1,n2,n3,3]
     pruned: Any = None          # PrunedFFT or None
     rho_core: Any = None        # NLCC core density [n1,n2,n3] or None
+    Gpk_cart: Any = None        # [nk, nG, 3] Cartesian k+G (mGGA only)
+    tau_core: Any = None        # NLCC core kinetic density (mGGA) or None
 
 
 def prepare_split_data(basis, dtype=jnp.float32, pruned=True):
@@ -351,6 +402,7 @@ def prepare_split_data(basis, dtype=jnp.float32, pruned=True):
     P = terms.P_np if terms.P_np is not None \
         else np.zeros((basis.n_kpoints, basis.nG_max, 0), dtype=np.complex128)
     D = terms.D_np if terms.D_np is not None else np.zeros((0, 0))
+    needs_tau = any(f.family == "mgga" for f, _ in terms.xc)
     return SplitTermsData(
         pruned=build_pruned_fft(basis, dtype=dtype) if pruned else None,
         vloc_static=jnp.asarray(terms.vloc_np, dtype=dtype),
@@ -365,12 +417,17 @@ def prepare_split_data(basis, dtype=jnp.float32, pruned=True):
         G_cart=jnp.asarray(basis.G_cube_cart, dtype=dtype),
         rho_core=(None if terms.rho_core_np is None
                   else jnp.asarray(terms.rho_core_np, dtype=dtype)),
+        Gpk_cart=(jnp.asarray(basis.Gpk_cart_np, dtype=dtype)
+                  if needs_tau else None),
+        tau_core=(None if terms.tau_core_np is None
+                  else jnp.asarray(terms.tau_core_np, dtype=dtype)),
     )
 
 
-def make_split_ham(sd: SplitTermsData, V):
+def make_split_ham(sd: SplitTermsData, V, Vtau=None):
     return Ham(Gidx=sd.Gidx, mask=sd.mask, kin=sd.kin, kspin=sd.kspin,
-               V=V, P=sd.P_split, D=sd.D, fft_pruned=sd.pruned)
+               V=V, P=sd.P_split, D=sd.D, fft_pruned=sd.pruned,
+               Vtau=Vtau, Gpk=sd.Gpk_cart if Vtau is not None else None)
 
 
 def compute_density_split(sd: SplitTermsData, U, occupation, fft_size, volume,
@@ -412,8 +469,71 @@ def compute_density_split(sd: SplitTermsData, U, occupation, fft_size, volume,
     return jnp.einsum("ks,kxyz->sxyz", sel, dens_k)
 
 
-def total_potential_split(terms, sd: SplitTermsData, rho, volume):
-    """Fused local potential without complex FFTs (split-DFT Hartree/XC)."""
+def compute_tau_split(sd: SplitTermsData, U, occupation, fft_size, volume,
+                      n_spin, band_chunk=None):
+    """Kinetic-energy density tau = 1/2 sum w f |grad psi|^2 from realified
+    vectors (split analogue of ops/density.py:compute_kinetic_energy_density;
+    reference densities.jl:110-125).  occupation is per REAL vector."""
+    nG = sd.kin.shape[1]
+    xy = jnp.stack([U[..., :nG], U[..., nG:]], axis=-1)
+    w = sd.kweights[:, None] * occupation
+    p = sd.Gpk_cart                                   # [nk, nG, 3]
+
+    tau_k = 0.0
+    for a in range(3):
+        # grad_a psi: i p_a psi - |.|^2 makes the i irrelevant, the REAL
+        # scale p_a commutes with the split DFT
+        xya = p[:, None, :, a, None] * xy
+
+        def tau_block(args):
+            xy_blk, w_blk = args
+            if sd.pruned is not None:
+                psir = sphere_to_real_pruned(xy_blk, sd.pruned, sd.mask) \
+                    / math.sqrt(volume)
+                d = jnp.einsum("kn,knzyx->kzyx", w_blk, abs2(psir))
+                return jnp.transpose(d, (0, 3, 2, 1))
+            cube = scatter_cube_split(xy_blk, sd.Gidx, sd.mask, fft_size)
+            psir = dft3(cube, sign=+1) / math.sqrt(volume)
+            return jnp.einsum("kn,knxyz->kxyz", w_blk, abs2(psir))
+
+        nb = xya.shape[1]
+        if band_chunk is None or band_chunk >= nb:
+            tau_k = tau_k + tau_block((xya, w))
+        else:
+            nblk = -(-nb // band_chunk)
+            pad = nblk * band_chunk - nb
+            xy_p = jnp.pad(xya, ((0, 0), (0, pad), (0, 0), (0, 0)))
+            w_p = jnp.pad(w, ((0, 0), (0, pad)))
+            blocks = jnp.moveaxis(
+                xy_p.reshape(xya.shape[0], nblk, band_chunk, nG, 2), 1, 0)
+            wblocks = jnp.moveaxis(
+                w_p.reshape(w.shape[0], nblk, band_chunk), 1, 0)
+            tau_k = tau_k + jnp.sum(
+                jax.lax.map(tau_block, (blocks, wblocks)), axis=0)
+    tau_k = 0.5 * tau_k
+    if n_spin == 1:
+        return jnp.sum(tau_k, axis=0)[None]
+    sel = jax.nn.one_hot(sd.kspin, n_spin, dtype=tau_k.dtype)
+    return jnp.einsum("ks,kxyz->sxyz", sel, tau_k)
+
+
+def von_weizsaecker_tau_split(rho, G_cart):
+    """tau_W = |grad rho|^2 / (8 rho) via the split DFT (mGGA tau guess)."""
+    rho_G = dft3_real_input(rho, sign=-1)
+    g2 = 0.0
+    for a in range(3):
+        gr = jnp.stack([-G_cart[..., a] * rho_G[..., 1],
+                        G_cart[..., a] * rho_G[..., 0]], axis=-1)
+        g = idft3_real_output(gr)
+        g2 = g2 + g * g
+    return g2 / (8 * jnp.maximum(rho, 1e-14))
+
+
+def total_potential_split(terms, sd: SplitTermsData, rho, volume, tau=None):
+    """Fused local potential without complex FFTs (split-DFT Hartree/XC).
+
+    Returns (V, energies) - or (V, Vtau, energies) when tau is given (mGGA).
+    """
     N = rho.shape[-1] * rho.shape[-2] * rho.shape[-3]
     dvol = volume / N
     rho_tot = jnp.sum(rho, axis=0)
@@ -427,21 +547,36 @@ def total_potential_split(terms, sd: SplitTermsData, rho, volume):
     energies["Hartree"] = 0.5 * jnp.sum(VH * rho_tot) * dvol
     V = V + VH[None]
 
+    Vtau = None
     if terms.xc:
         if sd.rho_core is not None:
             # NLCC: the XC functional sees valence + core density
             rho_xc = rho + sd.rho_core[None] / rho.shape[0]
         else:
             rho_xc = rho
-        exc, Vxc = jax.value_and_grad(
-            lambda r: xc_energy_split(terms.xc, r, sd.G_cart, volume,
-                                      terms.xc_scaling))(rho_xc)
+        if tau is not None:
+            if sd.tau_core is not None:
+                tau_shift = sd.tau_core[None] / rho.shape[0]
+            else:
+                tau_shift = 0.0
+            exc, (Vxc, Vtau) = jax.value_and_grad(
+                lambda r, t: xc_energy_split(terms.xc, r, sd.G_cart, volume,
+                                             terms.xc_scaling,
+                                             tau=t + tau_shift),
+                argnums=(0, 1))(rho_xc, tau)
+            Vtau = Vtau / dvol
+        else:
+            exc, Vxc = jax.value_and_grad(
+                lambda r: xc_energy_split(terms.xc, r, sd.G_cart, volume,
+                                          terms.xc_scaling))(rho_xc)
         energies["Xc"] = exc
         V = V + Vxc / dvol
+    if tau is not None:
+        return V, Vtau, energies
     return V, energies
 
 
-def xc_energy_split(functionals, rho, G_cart, volume, scaling=1.0):
+def xc_energy_split(functionals, rho, G_cart, volume, scaling=1.0, tau=None):
     """XC energy with spectral gradients via the matmul DFT."""
     if not functionals:
         return jnp.asarray(0.0, rho.dtype)
@@ -468,7 +603,10 @@ def xc_energy_split(functionals, rho, G_cart, volume, scaling=1.0):
 
     E = 0.0
     for f, fscale in functionals:
-        E = E + fscale * jnp.sum(f.energy(rho, sigma))
+        if f.family == "mgga":
+            E = E + fscale * jnp.sum(f.energy(rho, sigma, tau))
+        else:
+            E = E + fscale * jnp.sum(f.energy(rho, sigma))
     return scaling * E * dvol
 
 
@@ -649,6 +787,10 @@ def self_consistent_field_split(basis, tol=2e-5, maxiter=60, n_bands=None,
         from ..parallel.mesh import orbital_sharding
         U = jax.device_put(U, orbital_sharding(mesh))
         rho = jax.device_put(rho, NamedSharding(mesh, _P()))
+    needs_tau = any(f.family == "mgga" for f, _ in terms.xc)
+    # mGGA: tau follows psi through the SCF (no separate mixing, like the
+    # complex driver); von Weizsaecker tau as the first-iteration guess
+    tau = von_weizsaecker_tau_split(rho, sd.G_cart) if needs_tau else None
     symmetrizer = make_symmetrizer_split(basis, dtype) if symmetrize else None
     # occupation per iterated vector: a "paired" real vector carries f/2,
     # a csplit complex band carries the full f
@@ -660,10 +802,18 @@ def self_consistent_field_split(basis, tol=2e-5, maxiter=60, n_bands=None,
     # passed as ARGUMENTS, not closures - closed-over arrays are baked into
     # the program as constants, which blows up the serialized HLO (remote
     # compile services reject it) and bloats the executable.
-    def scf_step(sd_, kin2_, mask2_, rho_in, U_in, diagtol,
+    def scf_step(sd_, kin2_, mask2_, rho_in, tau_in, U_in, diagtol,
                  _cycles=None):
-        V, _ = total_potential_split(terms, sd_, rho_in, volume)
-        ham = make_split_ham(sd_, V)
+        # V applied RAW pointwise (like the complex driver and the
+        # reference): symmetrizing V was measured to break ABINIT golden
+        # parity at ~6e-4 for SCAN (see scf/driver.py NOTE)
+        if needs_tau:
+            V, Vtau, _ = total_potential_split(terms, sd_, rho_in, volume,
+                                               tau=tau_in)
+            ham = make_split_ham(sd_, V, Vtau=Vtau)
+        else:
+            V, _ = total_potential_split(terms, sd_, rho_in, volume)
+            ham = make_split_ham(sd_, V)
         A = lambda u: apply_H_split(ham, u, fft_size, volume,
                                     band_chunk=band_chunk)
         if eigensolver == "chefsi":
@@ -692,13 +842,24 @@ def self_consistent_field_split(basis, tol=2e-5, maxiter=60, n_bands=None,
                                         nspin, band_chunk=band_chunk)
         if symmetrizer is not None:
             rho_out = symmetrizer(rho_out)
-        V_out, energies = total_potential_split(terms, sd_, rho_out, volume)
+        tau_out = None
+        if needs_tau:
+            tau_out = compute_tau_split(sd_, res.X, occ, fft_size, volume,
+                                        nspin, band_chunk=band_chunk)
+            if symmetrizer is not None:
+                tau_out = symmetrizer(tau_out)
+            V_out, _Vtau_out, energies = total_potential_split(
+                terms, sd_, rho_out, volume, tau=tau_out)
+        else:
+            V_out, energies = total_potential_split(terms, sd_, rho_out,
+                                                    volume)
         energies.update(psi_energies_split(sd_, res.X, occ))
         if terms.has_entropy:
             energies["Entropy"] = entropy_energy(
                 res.eigenvalues, sd_.kweights, epsF, temperature, smearing,
                 filled_r)
-        return rho_out, res.X, res.eigenvalues, occ, epsF, energies
+        return (rho_out, tau_out, res.X, res.eigenvalues, occ, epsF,
+                energies)
 
     # CheFSI finisher (autopilot): when the density residual stalls, the
     # fixed filter degree/cycle count is the accuracy ceiling -- lazily
@@ -712,8 +873,8 @@ def self_consistent_field_split(basis, tol=2e-5, maxiter=60, n_bands=None,
         return _step_cache[cycles]
 
     _scf_step = jax.jit(scf_step)
-    scf_step = lambda rho_in, U_in, diagtol: _scf_step(
-        sd, kin2, mask2, rho_in, U_in, diagtol)
+    scf_step = lambda rho_in, tau_in, U_in, diagtol: _scf_step(
+        sd, kin2, mask2, rho_in, tau_in, U_in, diagtol)
     if use_kerker is None:
         use_kerker = model.temperature > 0
     # autopilot (VERDICT #10): insulating systems of a few dozen atoms or
@@ -770,9 +931,10 @@ def self_consistent_field_split(basis, tol=2e-5, maxiter=60, n_bands=None,
             if len(d3) == 3 and d3[2] > 0.7 * d3[0]:
                 cycles_cur += 2
                 boosted = _get_step(cycles_cur)
-                step_fn = lambda r_, U_, t_, _b=boosted: _b(
-                    sd, kin2, mask2, r_, U_, t_)
-        rho_out, U, eigvals, occ, epsF, energies = step_fn(rho, U, diagtol)
+                step_fn = lambda r_, tau_, U_, t_, _b=boosted: _b(
+                    sd, kin2, mask2, r_, tau_, U_, t_)
+        (rho_out, tau_out, U, eigvals, occ, epsF,
+         energies) = step_fn(rho, tau, U, diagtol)
         E_const = {"Ewald": terms.E_ewald,
                    "PspCorrection": terms.E_psp_correction}
         if auto_eps and it == 0:
@@ -815,7 +977,7 @@ def self_consistent_field_split(basis, tol=2e-5, maxiter=60, n_bands=None,
         else:
             n_E_up = 0
         E_prev = E_total
-        info = (rho_out, eigvals, occ, epsF, energies, E_const)
+        info = (rho_out, tau_out, eigvals, occ, epsF, energies, E_const)
         # best-iterate tracking: near the eigensolver noise floor drho
         # oscillates; return the LOWEST-residual state, not the last one
         if best_info is None or drho < best_drho:
@@ -824,11 +986,12 @@ def self_consistent_field_split(basis, tol=2e-5, maxiter=60, n_bands=None,
             rho = rho_out
             break
         rho = rho_mixed
+        tau = tau_out          # tau follows psi (no separate mixing)
         diagtol = min(diagtol, max(0.2 * drho, diagtol_min))
 
     if not converged and best_info is not None:
         info, U = best_info, best_U
-    rho_out, eigvals, occ, epsF, energies, E_const = info
+    rho_out, tau_out, eigvals, occ, epsF, energies, E_const = info
     energies_out = {k: float(jax.device_get(v)) for k, v in energies.items()}
     energies_out.update(E_const)
     energies_out["total"] = float(sum(energies_out.values()))
@@ -836,7 +999,8 @@ def self_consistent_field_split(basis, tol=2e-5, maxiter=60, n_bands=None,
     if paired:
         ev = ev[:, ::2]                 # deduplicate the spectrum pairing
     return dict(energies=energies_out, eigenvalues=ev, U=U,
-                rho=rho_out, epsF=float(epsF), converged=converged,
+                rho=rho_out, tau=tau_out, epsF=float(epsF),
+                converged=converged,
                 occupation=occ,       # per U row (f/2 in "paired" repr)
                 n_iter=it + 1, history=history, basis=basis,
                 runtime_s=_time.time() - t0)

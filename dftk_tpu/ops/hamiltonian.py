@@ -247,9 +247,17 @@ def total_potential(terms: Terms, rho, G_cube_cart, volume, tau=None):
         else:
             rho_xc = rho
         if tau is not None:
+            # NLCC for mGGA: the core kinetic-energy density shifts the tau
+            # seen by the functional (reference src/terms/xc.jl:100-104);
+            # d/dtau is unchanged by the constant shift, so Vtau stays exact.
+            if terms.tau_core_np is not None:
+                tau_core = jnp.asarray(terms.tau_core_np, dtype=rho.dtype)
+                tau_shift = tau_core[None] / nspin
+            else:
+                tau_shift = 0.0
             (exc, (Vxc, Vtau)) = jax.value_and_grad(
                 lambda r, t: xc_energy(terms.xc, r, G_cube_cart, volume,
-                                       terms.xc_scaling, tau=t),
+                                       terms.xc_scaling, tau=t + tau_shift),
                 argnums=(0, 1))(rho_xc, tau)
             Vtau = Vtau / dvol
         else:

@@ -201,6 +201,7 @@ class Terms:
     Gsq_np: np.ndarray
     kinetic_scale: float
     rho_core_np: Optional[np.ndarray]    # NLCC core density on the grid
+    tau_core_np: Optional[np.ndarray]    # NLCC core kinetic density (mGGA)
     kin_np: Optional[np.ndarray]         # kinetic override (blow-up), or None
     exx_kernel_np: Optional[np.ndarray]  # Fourier exchange kernel, or None
     hubbard_manifolds: Optional[tuple]
@@ -262,6 +263,7 @@ def instantiate_terms(basis) -> Terms:
     kinetic_scale = 1.0
     local_nonlinearity = None
     rho_core = None
+    tau_core = None
 
     Gsq = basis.G_cube_cart_norm ** 2
 
@@ -317,6 +319,8 @@ def instantiate_terms(basis) -> Terms:
             xc_functionals = resolve_functionals(term.functionals)
             xc_scaling = term.scaling_factor
             rho_core = _core_density_superposition(basis)
+            if any(f.family == "mgga" for f, _ in xc_functionals):
+                tau_core = _core_tau_superposition(basis)
         elif isinstance(term, Ewald):
             charges = np.array([at.charge_ionic() for at in model.atoms], dtype=float)
             if len(charges) > 0:
@@ -340,7 +344,7 @@ def instantiate_terms(basis) -> Terms:
     terms = Terms(vloc_np=vloc, hartree_np=hartree_coeffs,
                   P_np=P, D_np=D, Gsq_np=Gsq,
                   kinetic_scale=float(kinetic_scale),
-                  rho_core_np=rho_core,
+                  rho_core_np=rho_core, tau_core_np=tau_core,
                   kin_np=kin_np, exx_kernel_np=exx_kernel,
                   hubbard_manifolds=hubbard_manifolds,
                   Apot_np=Apot_np,
@@ -459,21 +463,22 @@ def _build_nonlocal_projectors(basis):
 # PspCorrection (terms/psp_correction.jl:26-35)
 # ---------------------------------------------------------------------------
 
-def _core_density_superposition(basis):
-    """NLCC: superposition of pseudo core charge densities (real grid)."""
+def _atomic_superposition(basis, has_attr, fourier_attr):
+    """Superposition of per-atom radial densities on the real grid, or None
+    if no atom provides the quantity (reference atomic_total_density,
+    src/density_methods.jl:117-121)."""
     model = basis.model
-    if not any(getattr(at, "has_core_density", lambda: False)()
-               for at in model.atoms):
+    if not any(getattr(at, has_attr, lambda: False)() for at in model.atoms):
         return None
     Gnorm = basis.G_cube_cart_norm.reshape(-1)
     Gred = basis.G_cube.reshape(-1, 3).astype(float)
     rho_G = np.zeros(Gnorm.shape, dtype=np.complex128)
     ff_cache = {}
     for i, at in enumerate(model.atoms):
-        if not getattr(at, "has_core_density", lambda: False)():
+        if not getattr(at, has_attr, lambda: False)():
             continue
         if at not in ff_cache:
-            ff_cache[at] = np.asarray(at.core_density_fourier(Gnorm))
+            ff_cache[at] = np.asarray(getattr(at, fourier_attr)(Gnorm))
         phase = np.exp(-2j * math.pi * (Gred @ np.asarray(model.positions[i])))
         rho_G += ff_cache[at] * phase
     rho_G /= math.sqrt(model.unit_cell_volume)
@@ -481,6 +486,18 @@ def _core_density_superposition(basis):
     rho = np.fft.ifftn(rho_G.reshape(basis.fft_size)).real \
         * (N / math.sqrt(model.unit_cell_volume))
     return np.maximum(rho, 0.0)
+
+
+def _core_density_superposition(basis):
+    """NLCC: superposition of pseudo core charge densities (real grid)."""
+    return _atomic_superposition(basis, "has_core_density",
+                                 "core_density_fourier")
+
+
+def _core_tau_superposition(basis):
+    """NLCC for mGGA: superposition of core kinetic-energy densities
+    (reference src/terms/xc.jl:45-53, CoreKineticEnergyDensity)."""
+    return _atomic_superposition(basis, "has_core_tau", "core_tau_fourier")
 
 
 def _energy_psp_correction(model):

@@ -136,7 +136,9 @@ def shard_split_data(sd, mesh: Mesh):
         kin=put_k(sd.kin), Gidx=put_k(sd.Gidx), mask=put_k(sd.mask),
         kspin=put_k(sd.kspin), kweights=put_k(sd.kweights),
         G_cart=put_r(sd.G_cart), pruned=pruned,
-        rho_core=(None if sd.rho_core is None else put_r(sd.rho_core)))
+        rho_core=(None if sd.rho_core is None else put_r(sd.rho_core)),
+        Gpk_cart=(None if sd.Gpk_cart is None else put_k(sd.Gpk_cart)),
+        tau_core=(None if sd.tau_core is None else put_r(sd.tau_core)))
 
 
 def orbital_sharding(mesh: Mesh):

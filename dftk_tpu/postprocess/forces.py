@@ -69,24 +69,39 @@ def _positions_energy(basis, psi, occupation, rho, positions, tau=None):
     # ---- NLCC: Exc[rho_v + rho_core(positions)] ------------------------------
     # The core density moves with the atoms, so Exc contributes a force for
     # psps with nonlinear core correction (reference src/terms/xc.jl:200-297).
-    if terms.xc and terms.rho_core_np is not None:
+    if terms.xc and (terms.rho_core_np is not None
+                     or terms.tau_core_np is not None):
         from ..ops.hamiltonian import xc_energy
-        rho_core = _core_density_of_positions(basis, positions)
         nspin = rho.shape[0]
-        rho_xc = rho + rho_core[None] / nspin
+        rho_xc = rho
+        if terms.rho_core_np is not None:
+            rho_core = _core_density_of_positions(basis, positions)
+            rho_xc = rho + rho_core[None] / nspin
+        tau_xc = tau
+        if tau is not None and terms.tau_core_np is not None:
+            # mGGA NLCC: tau_core moves with the atoms too, contributing
+            # the Vtau force term (reference src/terms/xc.jl:233-241)
+            tau_core = _core_density_of_positions(basis, positions,
+                                                  kind="tau")
+            tau_xc = tau + tau_core[None] / nspin
         E = E + xc_energy(terms.xc, rho_xc,
                           jnp.asarray(basis.G_cube_cart), vol,
-                          terms.xc_scaling, tau=tau)
+                          terms.xc_scaling, tau=tau_xc)
     return E
 
 
-def _core_density_of_positions(basis, positions):
-    """NLCC core density on the real grid as a jnp function of positions.
+def _core_density_of_positions(basis, positions, kind="rho"):
+    """NLCC core (kinetic-energy) density on the real grid as a jnp function
+    of positions.
 
-    Traced counterpart of ops/terms.py:_core_density_superposition (which is
+    Traced counterpart of ops/terms.py:_atomic_superposition (which is
     static numpy): core form factors are precomputed per element, only the
-    structure factors depend on the traced positions.
+    structure factors depend on the traced positions.  kind="rho" gives the
+    core charge density, kind="tau" the core kinetic-energy density (mGGA).
     """
+    has_attr = "has_core_density" if kind == "rho" else "has_core_tau"
+    fourier_attr = ("core_density_fourier" if kind == "rho"
+                    else "core_tau_fourier")
     model = basis.model
     vol = model.unit_cell_volume
     Gnorm = basis.G_cube_cart_norm.reshape(-1)
@@ -94,11 +109,11 @@ def _core_density_of_positions(basis, positions):
     rho_G = jnp.zeros(Gnorm.shape[0], dtype=jnp.complex128)
     ff_cache = {}
     for i, at in enumerate(model.atoms):
-        if not getattr(at, "has_core_density", lambda: False)():
+        if not getattr(at, has_attr, lambda: False)():
             continue
         if at not in ff_cache:
             ff_cache[at] = jnp.asarray(np.asarray(
-                at.core_density_fourier(Gnorm)))
+                getattr(at, fourier_attr)(Gnorm)))
         phase = jnp.exp(-2j * jnp.pi * (Gred @ positions[i]))
         rho_G = rho_G + ff_cache[at] * phase
     rho_G = rho_G / math.sqrt(vol)

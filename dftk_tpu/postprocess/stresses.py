@@ -88,26 +88,61 @@ def energy_at_lattice(basis, psi, occupation, lattice, positions=None):
             coeffs * (rho_G.conj() * rho_G).real)
 
     # --- XC (with the NLCC core density rebuilt from the traced lattice) ----
+    def _traced_core(fourier_sq_attr, has_attr):
+        """NLCC core (kinetic) density as a function of the traced lattice:
+        form factors re-evaluated at the traced |G|^2 via the *_sq psp
+        evaluators (jnp Hankel transforms)."""
+        Gsq_f = jnp.sum(G_cart * G_cart, axis=-1).reshape(-1)
+        core_G = jnp.zeros(Gsq_f.shape, dtype=jnp.complex128)
+        ffc = {}
+        Gred_f = jnp.asarray(basis.G_cube.reshape(-1, 3).astype(np.float64))
+        for i, at in enumerate(model.atoms):
+            if not getattr(at, has_attr, lambda: False)():
+                continue
+            if at not in ffc:
+                ffc[at] = getattr(at.psp, fourier_sq_attr)(Gsq_f)
+            phase = jnp.exp(-2j * jnp.pi * (Gred_f @ positions[i]))
+            core_G = core_G + ffc[at] * phase
+        core = jnp.fft.ifftn(
+            (core_G / sqrt_vol).reshape(fft_size)).real * (N / sqrt_vol)
+        return jnp.maximum(core, 0.0)
+
     E_xc = jnp.asarray(0.0)
     if terms.xc:
         rho_xc = rho
         if terms.rho_core_np is not None:
-            Gsq_f = jnp.sum(G_cart * G_cart, axis=-1).reshape(-1)
-            rho_core_G = jnp.zeros(Gsq_f.shape, dtype=jnp.complex128)
-            ffc = {}
-            Gred_f = jnp.asarray(basis.G_cube.reshape(-1, 3).astype(np.float64))
-            for i, at in enumerate(model.atoms):
-                if not getattr(at, "has_core_density", lambda: False)():
-                    continue
-                if at not in ffc:
-                    ffc[at] = at.psp.core_density_fourier_sq(Gsq_f)
-                phase = jnp.exp(-2j * jnp.pi * (Gred_f @ positions[i]))
-                rho_core_G = rho_core_G + ffc[at] * phase
-            rho_core = jnp.fft.ifftn(
-                (rho_core_G / sqrt_vol).reshape(fft_size)).real \
-                * (N / sqrt_vol)
-            rho_xc = rho + jnp.maximum(rho_core, 0.0)[None] / rho.shape[0]
-        E_xc = xc_energy(terms.xc, rho_xc, G_cart, vol, terms.xc_scaling)
+            rho_core = _traced_core("core_density_fourier_sq",
+                                    "has_core_density")
+            rho_xc = rho + rho_core[None] / rho.shape[0]
+        tau_xc = None
+        if any(f.family == "mgga" for f, _ in terms.xc):
+            # meta-GGA: recompute tau from psi inside the lattice trace so
+            # the |B(k+G)|^2 and FFT-normalisation dependences are captured
+            # (reference pushes ForwardDiff through compute_kinetic_energy_
+            # density the same way, src/postprocess/stresses.jl)
+            tau_k = 0.0
+            for a in range(3):
+                dpsi = jax.vmap(
+                    lambda c, idx, m: fftops.scatter_to_cube(c, idx, m,
+                                                             fft_size)
+                )(1j * Gpk_cart[:, None, :, a] * psi, bd.Gidx, bd.mask)
+                dpsir = jnp.fft.ifftn(dpsi, axes=(-3, -2, -1)) * (N / sqrt_vol)
+                tau_k = tau_k + jnp.einsum(
+                    "kn,knxyz->kxyz", wocc, (dpsir.conj() * dpsir).real)
+            tau_k = 0.5 * tau_k
+            if nspin == 1:
+                tau_xc = jnp.sum(tau_k, axis=0)[None]
+            else:
+                tau_xc = jnp.einsum("ks,kxyz->sxyz",
+                                    jax.nn.one_hot(bd.kspin, nspin,
+                                                   dtype=tau_k.dtype), tau_k)
+            if symmetrizer is not None:
+                tau_xc = symmetrizer(tau_xc)
+            if terms.tau_core_np is not None:
+                tau_core = _traced_core("core_tau_fourier_sq", "has_core_tau")
+                tau_xc = tau_xc + tau_core[None] / rho.shape[0]
+        E_xc = xc_energy(terms.xc, rho_xc, G_cart, vol, terms.xc_scaling,
+                         tau=tau_xc)
 
     # --- AtomicLocal (p^2-form factors keep the graph smooth at G=0) --------
     Gsq_flat = Gsq.reshape(-1)

@@ -113,10 +113,14 @@ class SplitChi0Context(NamedTuple):
     eigenvalues: jnp.ndarray
     kin2: jnp.ndarray
     mask2: jnp.ndarray
+    epsF: jnp.ndarray = None
 
 
 def make_chi0_split_context(basis, sd: SplitTermsData, split_res):
-    """Build the context from a self_consistent_field_split result dict."""
+    """Build the context from a self_consistent_field_split result dict.
+
+    Requires the csplit band representation (band_repr="complex", the
+    default): one U row per physical band with full occupation f."""
     rho = jnp.asarray(split_res["rho"])
     V, _ = total_potential_split(basis.terms, sd, rho,
                                  basis.model.unit_cell_volume)
@@ -126,21 +130,30 @@ def make_chi0_split_context(basis, sd: SplitTermsData, split_res):
         sd=sd, V=V, U=jnp.asarray(split_res["U"]),
         occupation=jnp.asarray(split_res["occupation"], dtype=V.dtype),
         eigenvalues=jnp.asarray(split_res["eigenvalues"], dtype=V.dtype),
-        kin2=kin2, mask2=mask2)
+        kin2=kin2, mask2=mask2,
+        epsF=jnp.asarray(split_res.get("epsF", 0.0), dtype=V.dtype))
 
 
 def apply_chi0_split_ctx(basis, ctx: SplitChi0Context, delta_V=None,
                          tol=1e-6, occupation_threshold=1e-8,
-                         band_chunk=None, rhs=None):
-    """delta_rho = chi_0 delta_V, all-real device code (T=0 response).
+                         band_chunk=None, rhs=None, with_detail=False):
+    """delta_rho = chi_0 delta_V, all-real device code.
 
     Either delta_V [nspin, grid] (a local potential perturbation) or a
     general realified rhs = dH psi [nk, nb, 2nG] may be given (e.g. the
-    displacement perturbations of the phonon DFPT)."""
+    displacement perturbations of the phonon DFPT).
+
+    T > 0 (metals) includes the occupation/Fermi-level response and the
+    stable divided-difference band-pair terms among partially occupied
+    bands (split port of response/chi0.py:277-341, reference
+    src/response/chi0.jl:399-412,440-555).  with_detail=True additionally
+    returns (dpsi, df, depsF) for free-energy second derivatives."""
     model = basis.model
     fft_size = basis.fft_size
     volume = model.unit_cell_volume
     nspin = model.n_spin_components
+    filled = model.filled_occupation
+    T = model.temperature
     sd = ctx.sd
     dt = ctx.V.dtype
 
@@ -154,12 +167,49 @@ def apply_chi0_split_ctx(basis, ctx: SplitChi0Context, delta_V=None,
                                 band_chunk=band_chunk)
 
     if rhs is None:
+        # perturbation applied to ALL computed bands: the metallic
+        # occupation response needs the diagonal on every band, the CG
+        # right-hand side is occ-masked separately below
         dVj = jnp.asarray(delta_V, dtype=dt)
-        rhs = _dV_times_U(sd, dVj, U_occ, fft_size, volume)
-    rhs = rhs * occ_mask[:, :, None]
-    dpsi = sternheimer_split(A, U_occ, ctx.eigenvalues, rhs, ctx.kin2,
+        rhs = _dV_times_U(sd, dVj, ctx.U if T > 0 else U_occ,
+                          fft_size, volume)
+    rhs_cg = rhs * occ_mask[:, :, None]
+    dpsi = sternheimer_split(A, U_occ, ctx.eigenvalues, rhs_cg, ctx.kin2,
                              ctx.mask2, tol=tol)
     dpsi = dpsi * occ_mask[:, :, None]
+
+    # dots_mn = <psi_m, dH psi_n> as a split pair (needed by the metallic
+    # pair terms AND the occupation response diagonal)
+    Gr = Gi = None
+    if T > 0:
+        Gr, Gi = cgram(ctx.U, rhs)                     # [nk, m, n]
+
+    # ---- divided-difference band-pair terms (metals, T > 0) ----------------
+    # split port of response/chi0.py:277-300: the Sternheimer projector
+    # removes the pair response among partially occupied bands; restore it
+    # with the stable alpha_mn, acting as the complex coefficient
+    # alpha*dots on u_m (re part on u, im part on J u).
+    if T > 0 and model.smearing is not None:
+        from ..models.smearing import (NoSmearing,
+                                       occupation_divided_difference)
+        if not isinstance(model.smearing, NoSmearing):
+            eps = ctx.eigenvalues
+            nb = eps.shape[1]
+            em = eps[:, :, None]
+            en = eps[:, None, :]
+            ratio = occupation_divided_difference(
+                model.smearing, em * jnp.ones_like(en),
+                en * jnp.ones_like(em), ctx.epsF, T) * filled
+            fm = occ[:, :, None]
+            fn = occ[:, None, :]
+            alpha = ratio * fn / jnp.maximum(fn ** 2 + fm ** 2, 1e-30)
+            pair_mask = (occ_mask[:, :, None] & occ_mask[:, None, :]
+                         & ~jnp.eye(nb, dtype=bool)[None])
+            alpha = jnp.where(pair_mask, alpha, 0.0).astype(dt)
+            dpsi = dpsi + (jnp.einsum("kmn,kmg->kng", alpha * Gr, ctx.U)
+                           + jnp.einsum("kmn,kmg->kng", alpha * Gi,
+                                        apply_J(ctx.U))) \
+                * occ_mask[:, :, None]
 
     # drho = sum 2 w f Re(psi* dpsi)(r): split real-space fields
     from ..ops.engine_split import scatter_cube_split
@@ -179,9 +229,38 @@ def apply_chi0_split_ctx(basis, ctx: SplitChi0Context, delta_V=None,
     w = sd.kweights[:, None] * occ_w
     drho_k = (2.0 / volume) * jnp.einsum("kn,knxyz->kxyz", w, re_prod)
     if nspin == 1:
-        return jnp.sum(drho_k, axis=0)[None]
-    sel = jax.nn.one_hot(sd.kspin, nspin, dtype=drho_k.dtype)
-    return jnp.einsum("ks,kxyz->sxyz", sel, drho_k)
+        drho = jnp.sum(drho_k, axis=0)[None]
+    else:
+        sel = jax.nn.one_hot(sd.kspin, nspin, dtype=drho_k.dtype)
+        drho = jnp.einsum("ks,kxyz->sxyz", sel, drho_k)
+
+    # ---- metallic occupation / Fermi-level response ------------------------
+    # split port of response/chi0.py:318-340: df_n = filled f' (dVnn-depsF)
+    # with depsF fixing the electron count; adds df_n |psi_n(r)|^2.
+    df = jnp.zeros_like(occ)
+    depsF = jnp.asarray(0.0, dtype=dt)
+    if T > 0:
+        smearing = model.smearing
+        x = (ctx.eigenvalues - ctx.epsF) / T
+        fprime = jax.vmap(jax.vmap(jax.grad(
+            lambda t: smearing.occupation(t))))(x) / T
+        dVnn = jnp.einsum("kmm->km", Gr)               # Re<psi_n, dH psi_n>
+        den = jnp.sum(sd.kweights[:, None] * filled * fprime)
+        num = jnp.sum(sd.kweights[:, None] * filled * fprime * dVnn)
+        depsF = jnp.where(jnp.abs(den) > 1e-14, num / den, 0.0)
+        df = filled * fprime * (dVnn - depsF)
+        psir2 = jnp.sum(psir * psir, axis=-1)          # N^2 |ifft psi|^2
+        drho_occ_k = (1.0 / volume) * jnp.einsum(
+            "kn,knxyz->kxyz", sd.kweights[:, None] * df, psir2)
+        if nspin == 1:
+            drho = drho + jnp.sum(drho_occ_k, axis=0)[None]
+        else:
+            sel = jax.nn.one_hot(sd.kspin, nspin, dtype=drho_occ_k.dtype)
+            drho = drho + jnp.einsum("ks,kxyz->sxyz", sel, drho_occ_k)
+
+    if with_detail:
+        return drho, dpsi, df, depsF
+    return drho
 
 
 def apply_kernel_split(basis, sd: SplitTermsData, rho0, drho):

@@ -7,7 +7,7 @@ arithmetic, the Sternheimer solves run in the J-adapted realified algebra
 assembly is a realified dot.  The clamped-ion part reuses the split force
 energy (jax.hessian of _force_energy_split, chip-compatible) plus a
 host-side f64 numpy Ewald hessian (finite differences of the analytic
-gradient).  Insulators at T = 0.
+gradient).  Insulators and metals (T > 0 occupation response included).
 
 Validated against the complex dynmat_dfpt_gamma in
 tests/test_phonon_split.py.
@@ -180,12 +180,15 @@ def dynmat_dfpt_gamma_split(basis, sd: SplitTermsData, split_res,
     """Cartesian force-constant matrix [3na, 3na] at Gamma, split engine.
 
     split_res: result dict of self_consistent_field_split (csplit repr).
-    Insulators, T = 0, full (unfolded) k-set in `basis`.
+    Insulators AND metals (T > 0: chi0_split supplies the occupation /
+    Fermi-level response and the divided-difference band pairs; the
+    free-energy second derivative adds sum w df <psi|dV|psi> like the
+    complex path, de Gironcoli PRB 51, 6773).  Full (unfolded) k-set in
+    `basis`.
     """
     from .chi0_split import make_chi0_split_context
     model = basis.model
-    if model.temperature > 0:
-        raise NotImplementedError("split DFPT: insulators (T=0) only")
+    metallic = model.temperature > 0
     na = len(model.atoms)
     ctx = make_chi0_split_context(basis, sd, split_res)
     dt = ctx.V.dtype
@@ -244,47 +247,45 @@ def dynmat_dfpt_gamma_split(basis, sd: SplitTermsData, split_res,
     def matvec(drho):
         return drho - chi0_dv(kern_f(drho))
 
-    from .chi0_split import sternheimer_split
-    from ..ops.engine_split import apply_H_split, make_split_ham
-    ham = make_split_ham(sd, ctx.V)
-    A = lambda u: apply_H_split(ham, u, basis.fft_size,
-                                model.unit_cell_volume,
-                                band_chunk=band_chunk)
     occ_mask = occ > 1e-8
-    U_occ = U * occ_mask[:, :, None]
 
     @jax.jit
     def _screened_j(ctx_, rhs, drho):
+        """dpsi (incl. metallic pair terms) and df for the screened
+        perturbation rhs_tot = rhs + K drho applied to psi."""
         dV_ind = apply_kernel_split(basis, ctx_.sd, rho0, drho)
         rhs_tot = rhs + _dV_times_U(ctx_.sd, dV_ind, ctx_.U, basis.fft_size,
                                     model.unit_cell_volume)
-        om = ctx_.occupation > 1e-8
-        Uo = ctx_.U * om[:, :, None]
-        ham_ = make_split_ham(ctx_.sd, ctx_.V)
-        A_ = lambda u: apply_H_split(ham_, u, basis.fft_size,
-                                     model.unit_cell_volume,
-                                     band_chunk=band_chunk)
-        dpsi = sternheimer_split(A_, Uo, ctx_.eigenvalues,
-                                 rhs_tot * om[:, :, None],
-                                 ctx_.kin2, ctx_.mask2, tol=sternheimer_tol)
-        return dpsi * om[:, :, None]
+        _, dpsi, df, _ = apply_chi0_split_ctx(
+            basis, ctx_, rhs=rhs_tot, tol=sternheimer_tol,
+            band_chunk=band_chunk, with_detail=True)
+        return dpsi, df
 
-    def screened_dpsi(rhs, drho):
-        return _screened_j(ctx, rhs, drho)
-
-    dpsi_all = []
+    dpsi_all, df_all = [], []
     for rhs in rhs_list:
         drho_bare = chi0_f(rhs)
         drho = gmres(matvec, drho_bare, tol=tol)
-        dpsi_all.append(screened_dpsi(rhs, drho))
+        dpsi, df = _screened_j(ctx, rhs, drho)
+        dpsi_all.append(dpsi)
+        df_all.append(df)
 
+    from ..ops.eigen.csplit import cgram
     w = sd.kweights[:, None] * jnp.where(occ_mask, occ, 0.0)
+    wk = sd.kweights[:, None]
     C_resp = np.zeros((3 * na, 3 * na))
     for s in range(3 * na):
+        dVnn_s = None
+        if metallic:
+            Gr_s, _ = cgram(ctx.U, rhs_list[s])
+            dVnn_s = jnp.einsum("kmm->km", Gr_s)   # Re<psi_n|d_s H|psi_n>
         for t in range(3 * na):
             # 2 Re<dpsi_t, rhs_s> = 2 * realified dot
             ov = jnp.einsum("kng,kng->kn", dpsi_all[t], rhs_list[s])
-            C_resp[s, t] = float(2.0 * jnp.sum(w * ov))
+            val = 2.0 * jnp.sum(w * ov)
+            if metallic:
+                # occupation response of the free energy (de Gironcoli)
+                val = val + jnp.sum(wk * df_all[t] * dVnn_s)
+            C_resp[s, t] = float(val)
     C = C.reshape(3 * na, 3 * na) + C_resp
     C = (C + C.T) / 2
     if acoustic_sum_rule:

@@ -48,6 +48,7 @@ class SCFResult:
     n_matvec: int
     runtime_s: float
     V_local: Any = None          # total local potential at convergence
+    tau: Any = None              # kinetic-energy density (mGGA only)
 
     @property
     def total_energy(self):
@@ -180,6 +181,16 @@ def self_consistent_field(
         diagtol_min = max(tol / 100, 100 * eps)
 
     symmetrizer = make_symmetrizer(basis)
+    # NOTE on potentials and symmetry: rho is symmetrized (with the grid
+    # lowpass), V is applied RAW pointwise - exactly like the reference
+    # (src/terms/xc.jl:84-160) and ABINIT.  With fractional translations
+    # that do not map the real-space grid onto itself the pointwise V of a
+    # symmetric rho is NOT symmetric at the aliasing level, so eigenstates
+    # are stationary points of E[Sym rho] only up to ~1e-6 (LDA/PBE) /
+    # ~1e-4 (SCAN) - an inconsistency the reference inherits too.
+    # Symmetrizing V instead was measured to move the SCAN ABINIT-golden
+    # eigenvalues by up to 6e-4 (the lowpass changes the potential), so
+    # golden parity wins: keep V raw.
     bd = basis.data
     td = terms.data
     needs_tau = any(f.family == "mgga" for f, _ in terms.xc)
@@ -446,4 +457,4 @@ def self_consistent_field(
         n_iter=it + 1, n_bands_converge=n_bands,
         history_Etot=history_E, history_Drho=history_drho,
         n_matvec=n_matvec_total, runtime_s=time.time() - t0,
-        V_local=V_out)
+        V_local=V_out, tau=tau_out if needs_tau else None)
