@@ -27,6 +27,7 @@ from ..kernels.dft_matmul import dft3, dft3_real_input
 from ..models.elements import ElementPsp
 from ..utils.special import LM_INDEX, solid_harmonics_real
 from .engine_split import xc_energy_split
+from .phase import phase_cos_sin
 
 
 class SplitForceData(NamedTuple):
@@ -34,7 +35,8 @@ class SplitForceData(NamedTuple):
     Gred_cube: jnp.ndarray      # [M, 3] reduced G of the full fft cube
     ff_loc: tuple               # per atom group: [M] real local form factor
     loc_groups: tuple           # per atom group: atom index tuple
-    Gred_pk: jnp.ndarray        # [nk, nG, 3] reduced k+G
+    Gint_pk: jnp.ndarray        # [nk, nG, 3] INTEGER reduced G per k-point
+    kred: jnp.ndarray           # [nk, 3] reduced k (fractional part of k+G)
     ff_nl: tuple                # per psp group: [nk, nG, npp, 2]
     D_nl: tuple                 # per psp group: [npp, npp]
     nl_groups: tuple            # per psp group: atom index tuple
@@ -108,25 +110,30 @@ def prepare_force_data(basis, dtype=jnp.float32):
     return SplitForceData(
         Gred_cube=jnp.asarray(Gred_cube, dtype=dtype),
         ff_loc=tuple(ff_loc), loc_groups=tuple(loc_groups),
-        Gred_pk=jnp.asarray(basis.Gred_np.astype(np.float64)
-                            + basis.kcoords_spin[:, None, :], dtype=dtype),
+        Gint_pk=jnp.asarray(basis.Gred_np.astype(np.float64), dtype=dtype),
+        kred=jnp.asarray(basis.kcoords_spin, dtype=dtype),
         ff_nl=tuple(ff_nl), D_nl=tuple(D_nl), nl_groups=tuple(nl_groups),
         ff_core=tuple(ff_core), core_groups=tuple(core_groups))
 
 
-def _phases(Gred, r):
-    """(cos, sin) of 2 pi G.r: split e^{+2 pi i G.r}; conj = negate sin."""
-    th = 2 * jnp.pi * (Gred @ r)
-    return jnp.cos(th), jnp.sin(th)
+def _phases(Gred, r, extra=None, r_lo=None):
+    """(cos, sin) of 2 pi G.r: split e^{+2 pi i G.r}; conj = negate sin.
+
+    Exact f32 range reduction over the integer Gred (ops/phase.py); the
+    optional `extra` carries the fractional k.r part of k+G phases."""
+    return phase_cos_sin(Gred, r, extra=extra, r_lo=r_lo)
 
 
 def _force_energy_split(basis, fd: SplitForceData, sd, xy, wocc, rho,
-                        positions, xc_terms=None, xc_scaling=1.0,
+                        pos_hi, pos_lo, xc_terms=None, xc_scaling=1.0,
                         with_local=True):
     """Position-dependent energy, all-real, jnp-differentiable.
 
     xy: [nk, nb, nG, 2] split orbitals; wocc: [nk, nb] kweight*occupation
     (occupation in the U-row convention of the split SCF); rho fixed.
+    Positions ride as an exact (hi, lo) pair (ops/phase.py:split_position)
+    so f32 phases suffer neither argument-reduction nor position-
+    quantization loss; DIFFERENTIATE W.R.T. pos_lo (d/d pos_lo = d/d r).
     with_local=False skips the AtomicLocal term (computed host-side in f64
     by compute_forces_split: it needs only the density, and the f32 cube
     reduction dominates the on-chip force error otherwise).
@@ -146,19 +153,21 @@ def _force_energy_split(basis, fd: SplitForceData, sd, xy, wocc, rho,
         rho_G = dft3_real_input(rho_tot, sign=-1).reshape(-1, 2) \
             * (sqrt_vol / N)
         for ff, group in zip(fd.ff_loc, fd.loc_groups):
-            def loc_one(r):
-                c, s = _phases(fd.Gred_cube, r)      # e^{-2 pi i G.r}=(c,-s)
+            def loc_one(rh, rl):
+                c, s = _phases(fd.Gred_cube, rh, r_lo=rl)  # e^{-2 pi i G.r}
                 # Re<rho_G, ff (c, -s)> = sum ff (rho_re c - rho_im s)
                 return jnp.sum(ff * (rho_G[:, 0] * c - rho_G[:, 1] * s))
+            gidx = jnp.asarray(group)
             E = E + jnp.sum(jax.vmap(loc_one)(
-                positions[jnp.asarray(group)])) / sqrt_vol
+                pos_hi[gidx], pos_lo[gidx])) / sqrt_vol
 
     # ---- AtomicNonlocal ----------------------------------------------------
     for ff, D, group in zip(fd.ff_nl, fd.D_nl, fd.nl_groups):
         cf_re, cf_im = ff[..., 0], -ff[..., 1]       # conj(ff)
         hi = jax.lax.Precision.HIGHEST   # keep true f32 on the MXU
-        def nl_one(r):
-            c, s = _phases(fd.Gred_pk, r)            # conj(sf) = e^{+2 pi i}
+        def nl_one(rh, rl):
+            c, s = _phases(fd.Gint_pk, rh, r_lo=rl,  # conj(sf) = e^{+2 pi i}
+                           extra=(fd.kred @ (rh + rl))[:, None])
             A_re = cf_re * c[:, :, None] - cf_im * s[:, :, None]
             A_im = cf_re * s[:, :, None] + cf_im * c[:, :, None]
             Pd_re = (jnp.einsum("kgp,kng->knp", A_re, xy[..., 0],
@@ -174,17 +183,19 @@ def _force_energy_split(basis, fd: SplitForceData, sd, xy, wocc, rho,
                       + jnp.einsum("knp,pq,knq->kn", Pd_im, D, Pd_im,
                                    precision=hi))
             return jnp.sum(wocc * band_e)
-        E = E + jnp.sum(jax.vmap(nl_one)(positions[jnp.asarray(group)])) / vol
+        gidx = jnp.asarray(group)
+        E = E + jnp.sum(jax.vmap(nl_one)(pos_hi[gidx], pos_lo[gidx])) / vol
 
     # ---- NLCC: Exc[rho_v + rho_core(pos)] ----------------------------------
     if xc_terms and fd.ff_core:
         rcG = jnp.zeros((fd.Gred_cube.shape[0], 2), dtype=dt)
         for ff, group in zip(fd.ff_core, fd.core_groups):
-            def core_one(r):
-                c, s = _phases(fd.Gred_cube, r)
+            def core_one(rh, rl):
+                c, s = _phases(fd.Gred_cube, rh, r_lo=rl)
                 return jnp.stack([ff * c, -ff * s], axis=-1)
+            gidx = jnp.asarray(group)
             rcG = rcG + jnp.sum(
-                jax.vmap(core_one)(positions[jnp.asarray(group)]), axis=0)
+                jax.vmap(core_one)(pos_hi[gidx], pos_lo[gidx]), axis=0)
         rcG = (rcG / sqrt_vol).reshape(
             (fft_size[0], fft_size[1], fft_size[2], 2))
         rho_core = dft3(rcG, sign=+1)[..., 0] / math.sqrt(vol)
@@ -208,17 +219,22 @@ def compute_forces_split(basis, sd, U, occupation, rho, dtype=None):
     nG = sd.kin.shape[1]
     xy = jnp.stack([U[..., :nG], U[..., nG:]], axis=-1)
     wocc = sd.kweights[:, None] * jnp.asarray(occupation, dtype=rho.dtype)
-    positions = jnp.asarray(np.stack(model.positions), dtype=rho.dtype)
+    from .phase import split_position
+    ph, pl = split_position(np.stack(model.positions))
+    pos_hi = jnp.asarray(ph, dtype=rho.dtype)
+    pos_lo = jnp.asarray(pl, dtype=rho.dtype)
 
     # arrays ride as jit ARGUMENTS (closed-over device arrays become HLO
-    # constants, which remote compile services reject for big systems)
-    def energy(fd_, sd_, xy_, wocc_, rho_, pos_):
-        return _force_energy_split(basis, fd_, sd_, xy_, wocc_, rho_, pos_,
-                                   xc_terms=terms.xc,
+    # constants, which remote compile services reject for big systems);
+    # d/d pos_lo = d/d positions (pos_hi is the constant grid part)
+    def energy(fd_, sd_, xy_, wocc_, rho_, ph_, pl_):
+        return _force_energy_split(basis, fd_, sd_, xy_, wocc_, rho_,
+                                   ph_, pl_, xc_terms=terms.xc,
                                    xc_scaling=terms.xc_scaling,
                                    with_local=False)
-    grad_fn = jax.jit(jax.grad(energy, argnums=5))
-    F = -np.asarray(jax.device_get(grad_fn(fd, sd, xy, wocc, rho, positions)),
+    grad_fn = jax.jit(jax.grad(energy, argnums=6))
+    F = -np.asarray(jax.device_get(grad_fn(fd, sd, xy, wocc, rho,
+                                           pos_hi, pos_lo)),
                     dtype=np.float64)
 
     # host-side f64 terms (need only the density / no device data):

@@ -80,12 +80,18 @@ def prepare_stress_data(basis, dtype=jnp.float32):
 
 
 def energy_at_lattice_split(basis, st: SplitStressData, xy, wocc, lattice,
-                            symmetrizer=None):
+                            symmetrizer=None, include="all"):
     """Total energy (minus Ewald/PspCorrection/Entropy) as a real function
     of the lattice; xy [nk, nb, nG, 2] and wocc [nk, nb] fixed.
 
     symmetrizer must be built OUTSIDE any trace (make_symmetrizer_split
-    builds its gather maps eagerly with jnp ops)."""
+    builds its gather maps eagerly with jnp ops).
+
+    include: "all" | "psi" (kinetic + nonlocal, the band-heavy on-chip
+    part) | "density" (local + Hartree + XC, which need only the density:
+    computed host-side in f64 by compute_stresses_split because their
+    volume-scaled cube reductions dominate the f32 stress error -- the
+    same split as compute_forces_split's with_local=False)."""
     model = basis.model
     terms = basis.terms
     fft_size = basis.fft_size
@@ -96,12 +102,21 @@ def energy_at_lattice_split(basis, st: SplitStressData, xy, wocc, lattice,
     vol = jnp.abs(jnp.linalg.det(lattice)).astype(dt)
     sqrt_vol = jnp.sqrt(vol)
 
+    with_psi = include in ("all", "psi")
+    with_density = include in ("all", "density")
+
     # --- kinetic ------------------------------------------------------------
     Gpk_cart = jnp.einsum("ab,knb->kna", B, st.Gred_pk)
-    kin = 0.5 * jnp.sum(Gpk_cart * Gpk_cart, axis=-1) * st.mask
-    abs2_G = jnp.sum(xy * xy, axis=-1)                   # [nk, nb, nG]
-    E_kin = jnp.sum(wocc[:, :, None] * kin[:, None, :] * abs2_G) \
-        * terms.kinetic_scale
+    E_kin = jnp.asarray(0.0, dtype=dt)
+    if with_psi:
+        kin = 0.5 * jnp.sum(Gpk_cart * Gpk_cart, axis=-1) * st.mask
+        abs2_G = jnp.sum(xy * xy, axis=-1)               # [nk, nb, nG]
+        E_kin = jnp.sum(wocc[:, :, None] * kin[:, None, :] * abs2_G) \
+            * terms.kinetic_scale
+
+    if not with_density:
+        return E_kin + _nonlocal_energy_at_lattice(
+            basis, st, xy, wocc, Gpk_cart, vol, sqrt_vol, dt)
 
     # --- density from xy (volume normalisation traced) ----------------------
     cube = scatter_cube_split(xy, st.Gidx, st.mask, fft_size)
@@ -147,10 +162,9 @@ def energy_at_lattice_split(basis, st: SplitStressData, xy, wocc, lattice,
                 if at not in done:
                     done[at] = at.psp.core_density_fourier_sq(Gsq_f)
                 ffc = done[at]
-                th = 2 * jnp.pi * (Gred_f @ jnp.asarray(
+                pc, ps = phase_cos_sin(Gred_f, jnp.asarray(
                     model.positions[i], dtype=dt))
-                rcG = rcG + jnp.stack([ffc * jnp.cos(th),
-                                       -ffc * jnp.sin(th)], -1)
+                rcG = rcG + jnp.stack([ffc * pc, -ffc * ps], -1)
             rcG = (rcG / sqrt_vol).reshape(fft_size + (2,))
             rho_core = jnp.maximum(dft3(rcG, sign=+1)[..., 0] / sqrt_vol, 0.0)
             rho_xc = rho + rho_core[None] / rho.shape[0]
@@ -172,7 +186,18 @@ def energy_at_lattice_split(basis, st: SplitStressData, xy, wocc, lattice,
         E_loc = E_loc + jnp.sum(ff * (rho_Gf[:, 0] * sf[:, 0]
                                       + rho_Gf[:, 1] * sf[:, 1])) / sqrt_vol
 
-    # --- AtomicNonlocal ------------------------------------------------------
+    E_nl = jnp.asarray(0.0, dtype=dt)
+    if with_psi:
+        E_nl = _nonlocal_energy_at_lattice(basis, st, xy, wocc, Gpk_cart,
+                                           vol, sqrt_vol, dt)
+    return E_kin + E_H + E_xc + E_loc + E_nl
+
+
+def _nonlocal_energy_at_lattice(basis, st, xy, wocc, Gpk_cart, vol,
+                                sqrt_vol, dt):
+    """AtomicNonlocal energy with projectors traced through the metric."""
+    model = basis.model
+    terms = basis.terms
     E_nl = jnp.asarray(0.0, dtype=dt)
     if terms.has_nonlocal:
         Gpk_sq = jnp.sum(Gpk_cart * Gpk_cart, -1)
@@ -227,8 +252,7 @@ def energy_at_lattice_split(basis, st: SplitStressData, xy, wocc, lattice,
                                        precision=hi))
                 E_nl = E_nl + jnp.sum(wocc * band_e) / vol
             gi += 1
-
-    return E_kin + E_H + E_xc + E_loc + E_nl
+    return E_nl
 
 
 def _max_l(model):
@@ -271,7 +295,15 @@ def _host_stress_np(basis, eps_h=1e-6):
 
 
 def compute_stresses_split(basis, sd, U, occupation, dtype=None):
-    """Cartesian stress tensor (3x3, Ha/bohr^3) from split-SCF results."""
+    """Cartesian stress tensor (3x3, Ha/bohr^3) from split-SCF results.
+
+    Two-part evaluation (like compute_forces_split): the band-heavy
+    kinetic + nonlocal strain derivatives run on the device in the working
+    dtype; the density-only terms (local/Hartree/XC) whose volume-scaled
+    cube reductions dominate the f32 error (measured 8e-7 on the GaAs
+    slab diagonals) are re-derived host-side in f64 on the CPU backend --
+    they involve no band data, so the host part is O(cube), not O(bands).
+    """
     model = basis.model
     dt = dtype or U.dtype
     st = prepare_stress_data(basis, dtype=dt)
@@ -288,11 +320,35 @@ def compute_stresses_split(basis, sd, U, occupation, dtype=None):
         L = (jnp.eye(3, dtype=eps.dtype) + eps_sym) @ jnp.asarray(
             L0, dtype=eps.dtype)
         return energy_at_lattice_split(basis, st_, xy_, wocc_, L,
-                                       symmetrizer=symmetrizer)
+                                       symmetrizer=symmetrizer,
+                                       include="psi")
 
     grad = jax.jit(jax.grad(f, argnums=3))(
         st, xy, wocc, jnp.zeros((3, 3), dtype=dt))
     stress = np.asarray(jax.device_get(grad), dtype=np.float64) / vol
+
+    # ---- density terms: host f64 (CPU backend, x64 upgrade) ----------------
+    cpu = jax.devices("cpu")[0]
+    xy_np = np.asarray(jax.device_get(xy), dtype=np.float64)
+    wocc_np = np.asarray(jax.device_get(wocc), dtype=np.float64)
+    with jax.enable_x64(True), jax.default_device(cpu):
+        st64 = prepare_stress_data(basis, dtype=jnp.float64)
+        symm64 = make_symmetrizer_split(basis, jnp.float64)
+
+        def f_den(st_, xy_, wocc_, eps):
+            eps_sym = (eps + eps.T) / 2
+            L = (jnp.eye(3, dtype=eps.dtype) + eps_sym) @ jnp.asarray(
+                L0, dtype=eps.dtype)
+            return energy_at_lattice_split(basis, st_, xy_, wocc_, L,
+                                           symmetrizer=symm64,
+                                           include="density")
+
+        grad64 = jax.jit(jax.grad(f_den, argnums=3))(
+            st64, jnp.asarray(xy_np), jnp.asarray(wocc_np),
+            jnp.zeros((3, 3), dtype=jnp.float64))
+        stress = stress + np.asarray(jax.device_get(grad64),
+                                     dtype=np.float64) / vol
+
     stress = (stress + stress.T) / 2
     stress = stress + _host_stress_np(basis) / vol
     from ..postprocess.stresses import symmetrize_stresses

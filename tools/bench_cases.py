@@ -3,7 +3,7 @@
 runnable scripts: silicon, aluminium12, Al27-rattled, SrVO3.
 
 Usage: python tools/bench_cases.py <case> [quick]
-  case  : silicon | aluminium12 | al27 | srvo3
+  case  : silicon | aluminium12 | al27 | srvo3 | gaas_surface
   quick : reduce Ecut/kgrid for a fast smoke run
 
 Prints one JSON line per phase (scf_3steps / scf_full / forces), mirroring
@@ -97,8 +97,27 @@ def case_srvo3(quick):
     return model, Ecut, kgrid
 
 
+def case_gaas_surface(quick):
+    """GaAs (110) surface slab + vacuum (BASELINE configs[3]; reference
+    examples/gaas_surface.jl built with ASE, here ASE-free)."""
+    import dftk_tpu as dftk
+    from dftk_tpu.external.structure import build_model, build_surface_110
+    if quick:
+        s = build_surface_110(n_layers=2, n_vacuum=4)
+        Ecut, kgrid = 5.0, (4, 4, 1)
+    else:
+        # the example's "more interesting settings"
+        s = build_surface_110(n_layers=20, n_vacuum=20)
+        Ecut, kgrid = 15.0, (4, 4, 1)
+    model = build_model(s, functionals="PBE", psp_family="pbe",
+                        temperature=1e-3,
+                        smearing=dftk.Smearing.Gaussian())
+    return model, Ecut, kgrid
+
+
 CASES = {"silicon": case_silicon, "aluminium12": case_aluminium12,
-         "al27": case_al27, "srvo3": case_srvo3}
+         "al27": case_al27, "srvo3": case_srvo3,
+         "gaas_surface": case_gaas_surface}
 
 
 def main():
