@@ -184,11 +184,16 @@ def _strained_H_psi(basis, psi, occupation, eps, x):
     return out * bd.mask[:, None, :]
 
 
-def elastic_tensor_response(scfres, basis=None, cg_tol=1e-9, cg_maxiter=200):
+def elastic_tensor_response(scfres, basis=None, cg_tol=1e-9, cg_maxiter=200,
+                            dyson_tol=1e-8, sternheimer_tol=1e-10):
     """Voigt 6x6 elastic tensor C (Ha/bohr^3) by DFPT response.
 
-    Insulating, T=0, tightly converged scfres.  Validated against the
-    finite-difference elastic_tensor on silicon (tests/test_elastic_resp.py).
+    Insulators (T=0: ΩplusK CG route) AND metals (T>0: Dyson screening +
+    occupation/Fermi-level response, like the metallic Γ-DFPT; reference
+    src/postprocess/elastic.jl:34 differentiates solve_ΩplusK_split which
+    handles metals via src/response/hessian.jl:266).  Requires a tightly
+    converged scfres.  Validated against the finite-difference
+    elastic_tensor (tests/test_elastic_resp.py).
     """
     # a strain perturbation does not have the crystal symmetry: evaluate on
     # the FULL k-point set (like phonons; the IBZ-weighted response would
@@ -197,18 +202,23 @@ def elastic_tensor_response(scfres, basis=None, cg_tol=1e-9, cg_maxiter=200):
     scfres = unfold_bz(scfres)
     basis = scfres.basis
     model = basis.model
-    if model.temperature > 0:
-        raise NotImplementedError("elastic response: insulators (T=0) only")
+    metallic = model.temperature > 0
     terms = basis.terms
     bd = basis.data
     vol = model.unit_cell_volume
     filled = model.filled_occupation
-    n_occ = model.n_electrons // filled
-    psi = jnp.asarray(scfres.psi[:, :n_occ])
-    occ = jnp.full(psi.shape[:2], float(filled))
+    if metallic:
+        psi = jnp.asarray(scfres.psi)
+        occ = jnp.asarray(scfres.occupation)
+    else:
+        n_occ = model.n_electrons // filled
+        psi = jnp.asarray(scfres.psi[:, :n_occ])
+        occ = jnp.full(psi.shape[:2], float(filled))
     L0 = jnp.asarray(np.asarray(model.lattice, dtype=float))
 
     # ---- clamped-orbital part: hessian of F(eps) ---------------------------
+    # (at fixed psi AND occupations; the entropy is strain-independent at
+    # fixed occupations so it drops out of the second derivative)
     def F(eps_vec):
         eps = sum(eps_vec[a] * _strain_mat(a) for a in range(6))
         L = (jnp.eye(3) + eps) @ L0
@@ -220,27 +230,91 @@ def elastic_tensor_response(scfres, basis=None, cg_tol=1e-9, cg_maxiter=200):
     # C = d/de_b [(1/Omega) dF/de_a]; dOmega/de_b = Omega * tr(E_b)
     trE = np.array([np.trace(np.asarray(_strain_mat(a))) for a in range(6)])
     C = HF / vol - np.outer(gF, trE) / vol
+    # finite-prestress geometric term: the FD route differentiates the
+    # stress of the DEFORMED configuration, where incremental and base
+    # strains compose as (1+e)(1+eps) = 1 + eps + e + e eps; the e*eps
+    # cross term adds sum_ij gF_ij sym(E_a E_b)_ij.  For an isotropic
+    # prestress sigma0 this is sigma0 * tr(E_a E_b) -- measured exactly on
+    # compressed fcc Al (2.3e-4 at C11, half at C44) before the fix.
+    # Vanishes at zero stress (why the equilibrium-silicon test never saw
+    # it).  Reference: stress-strain coefficients vs energy second
+    # derivatives, e.g. Wallace, "Thermodynamics of Crystals", ch. 1.
+    gM = np.zeros((3, 3))
+    for a, (i, j) in enumerate(_VOIGT):
+        gM[i, j] = gM[j, i] = gF[a]
+    for a in range(6):
+        Ea = np.asarray(_strain_mat(a))
+        for b in range(6):
+            Eb = np.asarray(_strain_mat(b))
+            sym = (Ea @ Eb + Eb @ Ea) / 2
+            C[a, b] += np.sum(gM * sym) / vol
 
-    # ---- response part ------------------------------------------------------
-    from ..response.hessian import solve_omega_plus_k
+    # ---- bare strain derivatives of H psi (jvp through the metric) ---------
     rho0 = compute_density(bd, psi, occ, basis.fft_size, vol,
                            model.n_spin_components)
-
-    # bare strain derivatives of H psi via jvp, then solve (Omega+K)
-    rhs, dpsi = [], []
+    rhs = []
     for a in range(6):
         Ea = _strain_mat(a)
         _, r_a = jax.jvp(
             lambda e: _strained_H_psi(basis, psi, occ, e * Ea, psi),
             (jnp.asarray(0.0),), (jnp.asarray(1.0),))
-        r_a = r_a * bd.mask[:, None, :]
-        rhs.append(r_a)
-        dpsi.append(solve_omega_plus_k(basis, psi, occ, r_a, rho=rho0,
-                                       cg_tol=cg_tol, cg_maxiter=cg_maxiter))
+        rhs.append(r_a * bd.mask[:, None, :])
 
     w = bd.kweights[:, None] * occ
+    if not metallic:
+        from ..response.hessian import solve_omega_plus_k
+        dpsi = [solve_omega_plus_k(basis, psi, occ, r_a, rho=rho0,
+                                   cg_tol=cg_tol, cg_maxiter=cg_maxiter)
+                for r_a in rhs]
+        for a in range(6):
+            for b in range(6):
+                ov = jnp.einsum("kng,kng->kn", rhs[a].conj(), dpsi[b])
+                C[a, b] += float(2.0 * jnp.sum(w * ov.real)) / vol
+        return (C + C.T) / 2
+
+    # ---- metallic response: Dyson screening + occupation response ----------
+    # same structure as the metallic Γ-DFPT (response/phonon_dfpt.py):
+    # screen each bare perturbation self-consistently, then take the
+    # detailed chi0 apply for (dpsi, df); the free energy adds the
+    # sum w df_b <psi|d_a H|psi> term (de Gironcoli PRB 51, 6773).
+    from ..response.chi0 import apply_chi0, apply_chi0_generic, \
+        make_chi0_context
+    from ..response.hessian import apply_kernel, gmres
+    ctx = make_chi0_context(scfres, basis)
+
+    chi0_local = jax.jit(lambda dv: apply_chi0(ctx, basis, dv,
+                                               tol=sternheimer_tol))
+    kernel_f = jax.jit(lambda dr: apply_kernel(basis, rho0, dr))
+
+    def matvec(drho):
+        return drho - chi0_local(kernel_f(drho))
+
+    def _dV_ind_psi(drho):
+        dV_ind = apply_kernel(basis, rho0, drho)
+        cube = jax.vmap(lambda c, i, m: fftops.scatter_to_cube(
+            c, i, m, basis.fft_size))(psi, bd.Gidx, bd.mask)
+        psir = jnp.fft.ifftn(cube, axes=(-3, -2, -1))
+        return jax.vmap(fftops.gather_from_cube)(
+            jnp.fft.fftn(dV_ind[bd.kspin][:, None] * psir,
+                         axes=(-3, -2, -1)), bd.Gidx, bd.mask)
+
+    dpsi_all, df_all = [], []
+    for r_a in rhs:
+        drho_bare = apply_chi0_generic(ctx, basis, r_a, tol=sternheimer_tol)
+        drho = gmres(matvec, drho_bare, tol=dyson_tol)
+        rhs_tot = r_a + _dV_ind_psi(drho)
+        _, dpsi_a, df_a, _ = apply_chi0_generic(ctx, basis, rhs_tot,
+                                                tol=sternheimer_tol,
+                                                with_detail=True)
+        dpsi_all.append(dpsi_a)
+        df_all.append(df_a)
+
+    wk = bd.kweights[:, None]
     for a in range(6):
+        dVnn_a = jnp.einsum("kng,kng->kn", psi.conj(), rhs[a]).real
         for b in range(6):
-            ov = jnp.einsum("kng,kng->kn", rhs[a].conj(), dpsi[b])
-            C[a, b] += float(2.0 * jnp.sum(w * ov.real)) / vol
+            ov = jnp.einsum("kng,kng->kn", dpsi_all[b].conj(), rhs[a])
+            val = 2.0 * jnp.sum(w * ov.real) \
+                + jnp.sum(wk * df_all[b] * dVnn_a)
+            C[a, b] += float(val) / vol
     return (C + C.T) / 2
