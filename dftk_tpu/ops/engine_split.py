@@ -341,6 +341,120 @@ def _tau_apply_split(ham: Ham, xy, fft_size, band_chunk=None, precision=None):
     return 0.5 * acc
 
 
+def build_sandwich(pf: "PrunedFFT", V, precision=None):
+    """Per-column 'sandwich' matrices M(z, y) = Fb1 . diag(V(z,y,:)) . Ff1.
+
+    The local apply's hot middle -- G3 (m1 -> n1), pointwise V, B1 (n1 ->
+    m1) -- materializes the FULL real-space cube twice (268 MB per 128
+    bands on Si54, the HBM bottleneck of the whole SCF).  V is FIXED
+    within an SCF iteration, so the three steps collapse into one batched
+    [2 m1, 2 m1] matrix per (z, y) column, built once per iteration:
+
+        out[.., z, y, :] = M[z, y] @ in[.., z, y, :]
+
+    Cost per apply drops from 2 transforms x (2m1)(2n1) to (2m1)^2 MACs
+    per column AND the n1-resolved cube never exists.  V: [nspin, n1, n2,
+    n3] real; returns M [nspin, n3, n2, 2 m1, 2 m1].
+    """
+    from ..kernels.dft_matmul import as_precision
+    prec = as_precision(precision)
+    Vrev = jnp.transpose(V, (0, 3, 2, 1))                  # [s, n3, n2, n1]
+    Ff0, Fb0 = pf.Ff[0], pf.Fb[0]        # [m1,2,n1,2], [n1,2,m1,2]
+    m1 = Ff0.shape[0]
+    M = jnp.einsum("menf,szyn,nfpg->szymepg", Ff0, Vrev, Fb0,
+                   precision=prec)
+    return M.reshape(M.shape[:3] + (2 * m1, 2 * m1))
+
+
+def apply_local_sandwich(x, pf: "PrunedFFT", M, kspin, precision=None):
+    """Local-potential apply on COMPACT cubes via the sandwich middle.
+
+    x [nk, nb, m1, m2, m3, 2] -> same shape;  M from build_sandwich.
+    Largest intermediate is [.., m1, n3, n2] (half the full cube), and
+    the FLOP count of the 6-transform chain roughly halves.
+    """
+    from ..kernels.dft_matmul import as_precision, cdft_axis
+    prec = as_precision(precision)
+    m1 = x.shape[2]
+    t = cdft_axis(x, pf.Ff[2], 4, prec)        # [k,nb,m1,m2,n3,2]
+    t = cdft_axis(t, pf.Ff[1], 3, prec)        # [k,nb,m1,n3,n2,2]
+    t = jnp.transpose(t, (0, 1, 3, 4, 2, 5))   # [k,nb,n3,n2,m1,2]
+    tm = t.reshape(t.shape[:4] + (2 * m1,))
+    Mk = M[kspin]                              # [k, n3, n2, 2m1, 2m1]
+    mid = jnp.einsum("kbzyi,kzyij->kbzyj", tm, Mk, precision=prec)
+    mid = mid.reshape(t.shape)                 # [k,nb,n3,n2,m1,2]
+    y = cdft_axis(mid, pf.Fb[1], 3, prec)      # [k,nb,n3,m1,m2,2]
+    return cdft_axis(y, pf.Fb[2], 2, prec)     # [k,nb,m1,m2,m3,2]
+
+
+def compact_filter_ops(ham: Ham, volume, precision=None):
+    """(enter, leave, apply_c) for a compact-cube-RESIDENT Chebyshev filter.
+
+    The sphere<->compact placement gather costs 3.4 ms of the 8.6 ms Si54
+    apply on v5e (tools/bench_place2.py; XLA:TPU lowers per-element
+    gathers poorly).  A degree-d Chebyshev filter applies H d times on the
+    same vectors, so keeping them IN the compact cube pays the placement
+    once per filter instead of once per apply:
+
+      * kinetic: kin scattered to compact cells once (kin_c), dead cells 0
+      * local chain: the 6 axis dot_generals run compact->full->compact
+        natively (sphere_to_real_pruned minus its placement)
+      * nonlocal: projectors placed to compact rows once (P_c); identical
+        GEMMs with 3x rows (npp unchanged) - still a tiny cost next to
+        the DFTs
+      * dead compact cells are real G-frequencies OUTSIDE the sphere, so
+        each apply re-masks them (mask_c) - the operator stays exactly
+        H restricted to the sphere, and p_d(H)|compact == place . p_d(H)
+        . extract
+
+    Returns operators over flat compact arrays [nk, nb, Ncomp, 2].
+    Requires a pruned-FFT basis and no mGGA Vtau (DivAgrad falls back to
+    the sphere apply).
+    """
+    pf = ham.fft_pruned
+    assert pf is not None and ham.Vtau is None
+    m_shape = tuple(F.shape[0] for F in pf.Ff)
+    Ncomp = int(np.prod(m_shape))
+    nG = ham.kin.shape[1]
+    nk = ham.kin.shape[0]
+
+    live = pf.inv_idx < nG                                 # [nk, Ncomp]
+    mask_c = live.astype(ham.kin.dtype)
+    kin_pad = jnp.concatenate(
+        [ham.kin, jnp.zeros((nk, 1), ham.kin.dtype)], axis=1)
+    kin_c = jax.vmap(lambda kp, iv: kp[iv])(kin_pad, pf.inv_idx) * mask_c
+    P_c = None
+    if ham.P.shape[-2] > 0:
+        P_pad = jnp.concatenate(
+            [ham.P, jnp.zeros((nk, 1) + ham.P.shape[2:], ham.P.dtype)],
+            axis=1)
+        P_c = jax.vmap(lambda pp, iv: pp[iv])(P_pad, pf.inv_idx) \
+            * mask_c[:, :, None, None]
+    M = build_sandwich(pf, ham.V, precision=precision)
+
+    def enter(U):
+        xy = jnp.stack([U[..., :nG], U[..., nG:]], axis=-1)
+        x = _place_compact(xy, pf, m_shape)
+        return x.reshape(x.shape[:2] + (Ncomp, 2))
+
+    def leave(flat):
+        out = jax.vmap(lambda f, idx: f[:, idx, :])(flat, pf.Gidx_c)
+        out = out * ham.mask[:, None, :, None]
+        return jnp.concatenate([out[..., 0], out[..., 1]], axis=-1)
+
+    def apply_c(flat):
+        x = flat.reshape(flat.shape[:2] + m_shape + (2,))
+        y = apply_local_sandwich(x, pf, M, ham.kspin, precision=precision)
+        out = y.reshape(flat.shape) + kin_c[:, None, :, None] * flat
+        if P_c is not None:
+            Pd = _pdag_psi(P_c, flat, precision=precision)
+            DPd = jnp.einsum("pq,knqc->knpc", ham.D, Pd)
+            out = out + _p_coeff(P_c, DPd, precision=precision)
+        return out * mask_c[:, None, :, None]
+
+    return enter, leave, apply_c
+
+
 def _assemble_H_out(ham: Ham, xy, kin_part, loc_part, precision=None):
     out = kin_part + loc_part
     if ham.P.shape[-2] > 0:
@@ -615,9 +729,12 @@ def make_symmetrizer_split(basis, dtype=jnp.float32):
     if all(op.is_identity() for op in basis.symmetries):
         return None
     from .density import build_symmetrization_maps
+    from .phase import phase_cos_sin, split_position
     maps = build_symmetrization_maps(basis)
     Gred = jnp.asarray(basis.G_cube.reshape(-1, 3), dtype=dtype)
-    tau = jnp.asarray(np.asarray(jax.device_get(maps.tau)), dtype=dtype)
+    tau_h, tau_l = split_position(np.asarray(jax.device_get(maps.tau)))
+    tau_hi = jnp.asarray(tau_h, dtype=dtype)
+    tau_lo = jnp.asarray(tau_l, dtype=dtype)
     idx = maps.idx
     lowpass = jnp.asarray(np.asarray(jax.device_get(maps.lowpass)), dtype=dtype)
     nsym = idx.shape[0]
@@ -630,8 +747,9 @@ def make_symmetrizer_split(basis, dtype=jnp.float32):
             [rho_G, jnp.zeros((shape[0], 1, 2), rho_G.dtype)], axis=1)
 
         def one_op(s):
-            ph = -2 * jnp.pi * (Gred @ tau[s])
-            pr, pi = jnp.cos(ph), jnp.sin(ph)
+            # exact f32 reduction of -2 pi G.tau (ops/phase.py)
+            pr, mpi = phase_cos_sin(Gred, tau_hi[s], r_lo=tau_lo[s])
+            pi = -mpi
             g = rho_pad[:, idx[s], :]
             return jnp.stack([pr * g[..., 0] - pi * g[..., 1],
                               pr * g[..., 1] + pi * g[..., 0]], axis=-1)
@@ -714,7 +832,9 @@ def self_consistent_field_split(basis, tol=2e-5, maxiter=60, n_bands=None,
                                 chefsi_cycles=1, mixing_eps_r=None,
                                 band_chunk=None, filter_precision=None,
                                 mesh=None, band_repr="complex",
-                                rho0=None, U0=None):
+                                rho0=None, U0=None, adaptive_bands=None,
+                                occupation_threshold=1e-6,
+                                compact_filter=True):
     """SCF in the realified split engine (f32, complex-free device code).
 
     band_repr: "complex" (default) iterates nb complex bands as realified
@@ -732,6 +852,10 @@ def self_consistent_field_split(basis, tol=2e-5, maxiter=60, n_bands=None,
 
     model = basis.model
     terms = basis.terms
+    if mesh is None:
+        # whole-suite mesh mode (DFTK_TPU_MESH): a basis auto-distributed
+        # at construction carries its k-point mesh
+        mesh = getattr(basis, "mesh", None)
     sd = prepare_split_data(basis, dtype=dtype)
     if mesh is not None:
         # k-point (x band) device-mesh parallelism: shard the term data and
@@ -750,6 +874,10 @@ def self_consistent_field_split(basis, tol=2e-5, maxiter=60, n_bands=None,
         n_extra_bands = max(3, n_bands // 10)
     paired = band_repr != "complex"
     mult = 2 if paired else 1
+    if adaptive_bands is None:
+        # metals need the safety net (an unlucky initial band count silently
+        # under-converges occupations); insulators have a fixed window
+        adaptive_bands = model.temperature > 0
     nbr = mult * (n_bands + n_extra_bands)
     if mesh is not None and "bands" in mesh.axis_names:
         # band-axis sharding needs nbr divisible by the axis size; extra
@@ -818,8 +946,15 @@ def self_consistent_field_split(basis, tol=2e-5, maxiter=60, n_bands=None,
                                     band_chunk=band_chunk)
         if eigensolver == "chefsi":
             from .eigen.chefsi import chefsi_step
-            A_fast = None
-            if filter_precision is not None:
+            A_fast, wrap = None, None
+            if (compact_filter and ham.fft_pruned is not None
+                    and ham.Vtau is None):
+                # compact-cube-resident filter: placement paid once per
+                # filter, not once per apply (compact_filter_ops docstring)
+                enter, leave, A_fast = compact_filter_ops(
+                    ham, volume, precision=filter_precision)
+                wrap = (enter, leave)
+            elif filter_precision is not None:
                 A_fast = lambda u: apply_H_split(
                     ham, u, fft_size, volume, band_chunk=band_chunk,
                     precision=filter_precision)
@@ -827,7 +962,7 @@ def self_consistent_field_split(basis, tol=2e-5, maxiter=60, n_bands=None,
                               n_conv=mult * n_bands,
                               cycles=_cycles or chefsi_cycles,
                               apply_filter=A_fast, band_chunk=band_chunk,
-                              csplit=not paired)
+                              csplit=not paired, filter_wrap=wrap)
         elif paired:
             res = lobpcg(A, U_in, kin2_, mask2_, tol=diagtol,
                          maxiter=eigensolver_maxiter, n_conv=2 * n_bands)
@@ -978,9 +1113,22 @@ def self_consistent_field_split(basis, tol=2e-5, maxiter=60, n_bands=None,
             n_E_up = 0
         E_prev = E_total
         info = (rho_out, tau_out, eigvals, occ, epsF, energies, E_const)
+        # ---- AdaptiveBands (reference src/scf/nbands_algorithm.jl:20-90):
+        # if the TOP computed band is occupied above the threshold, the band
+        # window is too small (occupations silently wrong for metals); grow
+        # U with random orthonormalized vectors - shapes change, so the
+        # jitted step retraces ONCE with the new width.  This must gate
+        # CONVERGENCE too: a too-small window can reach a self-consistent
+        # (variationally restricted) but wrong state.
+        grew_bands = False
+        if adaptive_bands:
+            occ_top = float(np.max(np.asarray(jax.device_get(occ))[:, -1]))
+            if occ_top >= occupation_threshold / mult:
+                grew_bands = True
+                converged = False
         # best-iterate tracking: near the eigensolver noise floor drho
         # oscillates; return the LOWEST-residual state, not the last one
-        if best_info is None or drho < best_drho:
+        if not grew_bands and (best_info is None or drho < best_drho):
             best_drho, best_info, best_U = drho, info, U
         if converged:
             rho = rho_out
@@ -988,6 +1136,27 @@ def self_consistent_field_split(basis, tol=2e-5, maxiter=60, n_bands=None,
         rho = rho_mixed
         tau = tau_out          # tau follows psi (no separate mixing)
         diagtol = min(diagtol, max(0.2 * drho, diagtol_min))
+        if grew_bands:
+            add_b = max(3, (nbr // mult) // 8)            # complex bands
+            add = mult * add_b
+            nbr_new = nbr + add
+            if mesh is not None and "bands" in mesh.axis_names:
+                bsz = mesh.shape["bands"]
+                nbr_new = -(-nbr_new // bsz) * bsz
+                add = nbr_new - nbr
+                add_b = add // mult
+            key = jax.random.PRNGKey(seed + 7919 * (it + 1))
+            extra = jax.random.normal(
+                key, (basis.n_kpoints, add, 2 * sd.kin.shape[1]),
+                dtype=dtype) * mask2[:, None, :]
+            U = ortho_qr(jnp.concatenate([U, extra], axis=1))
+            if mesh is not None:
+                from ..parallel.mesh import orbital_sharding
+                U = jax.device_put(U, orbital_sharding(mesh))
+            nbr = nbr_new
+            n_bands = n_bands + add_b        # scf_step closure reads these
+            if callback:
+                callback(dict(n_iter=it + 1, adaptive_bands=nbr))
 
     if not converged and best_info is not None:
         info, U = best_info, best_U

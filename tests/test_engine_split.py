@@ -162,3 +162,40 @@ def test_split_scf_warm_restart():
     assert r2["converged"]
     assert r2["n_iter"] <= 4
     assert abs(r2["energies"]["total"] - r1["energies"]["total"]) < 1e-8
+
+
+def test_split_adaptive_bands_metal():
+    """AdaptiveBands on the split engine (reference
+    src/scf/nbands_algorithm.jl:20-90): an Al SCF started with a band
+    window so small that the TOP band is partially occupied must grow its
+    band count instead of silently misconverging the occupations."""
+    a = 7.65339
+    lattice = a / 2 * np.array([[0, 1, 1], [1, 0, 1], [1, 1, 0]])
+    Al = dftk.ElementPsp.from_symbol("Al", psp="lda/al-q3")
+    model = dftk.model_DFT(lattice, [Al], [np.zeros(3)],
+                           functionals=["lda_x", "lda_c_vwn"],
+                           temperature=1e-2, symmetries=False)
+    basis = dftk.PlaneWaveBasis(model, Ecut=6.0, kgrid=(2, 2, 2),
+                                fft_size=(15, 15, 15))
+    res_c = dftk.self_consistent_field(basis, tol=1e-10, maxiter=60,
+                                       n_bands=6, n_extra_bands=4)
+
+    grew = []
+    res_s = self_consistent_field_split(
+        basis, tol=1e-9, maxiter=50, dtype=jnp.float64, diagtol_min=1e-8,
+        n_bands=2, n_extra_bands=0,   # too small: band 2 holds ~0.5 e-/spin
+        callback=lambda i: grew.append(i.get("adaptive_bands"))
+        if isinstance(i, dict) and i.get("adaptive_bands") else None)
+    assert res_s["converged"]
+    assert grew, "adaptive bands never triggered"
+    occ = np.asarray(res_s["occupation"])
+    assert occ.shape[1] > 2                      # window actually grew
+    assert occ[:, -1].max() < 1e-6               # top band now unoccupied
+    assert abs(res_s["energies"]["total"] - res_c.total_energy) < 1e-7
+
+    # without the safety net the same window misconverges the occupations
+    res_bad = self_consistent_field_split(
+        basis, tol=1e-9, maxiter=50, dtype=jnp.float64, diagtol_min=1e-8,
+        n_bands=2, n_extra_bands=0, adaptive_bands=False)
+    occ_bad = np.asarray(res_bad["occupation"])
+    assert occ_bad[:, -1].max() > 1e-6
