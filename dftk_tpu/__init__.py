@@ -50,6 +50,8 @@ from .response.hessian import (compute_polarizability, solve_dyson,
                                solve_omega_plus_k)
 from .response.chi0 import apply_chi0, make_chi0_context
 from .postprocess.elastic_response import elastic_tensor_response
+from .scf.energy_eval import (evaluate_total_energy, refine_split_energy,
+                              refine_split_state)
 from .io.scfres import load_scfres, save_scfres, todict
 from .io.vtk import save_vts
 from .standardize import find_primitive, minkowski_reduce, standardize_atoms

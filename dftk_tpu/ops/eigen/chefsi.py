@@ -49,7 +49,8 @@ def estimate_upper_bound(apply_A, shape_like, mask, n_iter=12, key=None):
     return 1.1 * jnp.max(lam)          # safety margin
 
 
-def chebyshev_filter(apply_A, X, degree, lb, ub, band_chunk=None):
+def chebyshev_filter(apply_A, X, degree, lb, ub, band_chunk=None,
+                     enter=None, leave=None):
     """p_m(H) X with Chebyshev polynomials mapped so [lb, ub] is damped.
 
     Scaled three-term recurrence (Zhou et al. Algorithm 4.3 style):
@@ -59,11 +60,19 @@ def chebyshev_filter(apply_A, X, degree, lb, ub, band_chunk=None):
     independent per band, so chunking bounds the three live full-width
     temporaries to chunk size - the difference between fitting and OOM for
     2000-electron problems on one chip.
+
+    enter/leave: optional change of representation around the WHOLE
+    recurrence (e.g. the compact-cube-resident filter of
+    ops/engine_split.py:compact_filter_ops, which pays the sphere<->cube
+    placement once per filter instead of once per apply); apply_A then
+    acts in the entered representation.
     """
     e = (ub - lb) / 2
     c = (ub + lb) / 2
 
     def filter_block(Xb):
+        if enter is not None:
+            Xb = enter(Xb)
         t0 = Xb
         t1 = (apply_A(Xb) - c * Xb) * (1.0 / e)
 
@@ -73,6 +82,8 @@ def chebyshev_filter(apply_A, X, degree, lb, ub, band_chunk=None):
             return (t, tn)
 
         _, tm = jax.lax.fori_loop(0, degree - 1, body, (t0, t1))
+        if leave is not None:
+            tm = leave(tm)
         return tm
 
     nb = X.shape[1]
@@ -90,7 +101,7 @@ def chebyshev_filter(apply_A, X, degree, lb, ub, band_chunk=None):
 
 def chefsi_step(apply_A, X, mask, degree=8, lb=None, ub=None,
                 n_conv=None, lb_margin=0.05, cycles=1, apply_filter=None,
-                band_chunk=None, csplit=False):
+                band_chunk=None, csplit=False, filter_wrap=None):
     """Filter + orthonormalise + Rayleigh-Ritz cycles.
 
     csplit=True: X rows are realified COMPLEX bands (x; y) - the Chebyshev
@@ -111,7 +122,10 @@ def chefsi_step(apply_A, X, mask, degree=8, lb=None, ub=None,
     if apply_filter is None:
         apply_filter = apply_A
     if ub is None:
-        ub = estimate_upper_bound(apply_filter, X, mask)
+        # with filter_wrap, apply_filter acts in the wrapped representation
+        # and cannot take sphere vectors; bound the spectrum on apply_A
+        ub = estimate_upper_bound(
+            apply_A if filter_wrap is not None else apply_filter, X, mask)
 
     nb = X.shape[1]
     if n_conv is None:
@@ -134,8 +148,11 @@ def chefsi_step(apply_A, X, mask, degree=8, lb=None, ub=None,
             lb_cur = lb
         lb_cur = jnp.minimum(lb_cur, ub - 0.2 * jnp.abs(ub))
 
+        enter, leave = filter_wrap if filter_wrap is not None else (None,
+                                                                    None)
         Y = chebyshev_filter(apply_filter, X, degree, lb_cur, ub,
-                             band_chunk=band_chunk) * mask[:, None, :]
+                             band_chunk=band_chunk, enter=enter,
+                             leave=leave) * mask[:, None, :]
         if csplit:
             from .csplit import cgram, ceigh_pairs, crotate, ortho_qr_csplit
             Y = ortho_qr_csplit(Y)

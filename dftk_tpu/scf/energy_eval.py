@@ -92,3 +92,39 @@ def refine_split_energy(basis, split_res, band_repr="complex"):
     ev = split_res.get("eigenvalues")
     return evaluate_total_energy(basis, psi, occ, eigenvalues=ev,
                                  epsF=split_res.get("epsF"))
+
+
+def refine_split_state(basis, split_res, tol=1e-10, maxiter=12,
+                       band_repr="complex", occupation_threshold=1e-8,
+                       **scf_kwargs):
+    """Polish a chip-f32 state BELOW the f32 floor (VERDICT r2 item #3).
+
+    The split SCF stalls at drho ~ 1e-4..5e-4 (f32 rounding floor); the
+    variational argument (refine_split_energy) certifies the ENERGY, but
+    everything LINEAR in the state error - forces, stresses, DFPT -
+    inherits ~1e-6.  This runs a few warm-started f64 SCF iterations from
+    the chip state (same LOBPCG machinery, host CPU/x64): the start is
+    deep inside the quadratic basin, so 2-5 iterations reach drho < 1e-10,
+    after which force/stress/response evaluations are full-f64 quality.
+
+    Returns a standard SCFResult (usable by compute_forces,
+    elastic_tensor_response, dynmat_dfpt_gamma, ...).  Cost: a handful of
+    f64 iterations vs a full from-scratch f64 SCF's tens.  Reference
+    accuracy bar: test/gpu.jl:25-47 parity values.
+    """
+    from .driver import self_consistent_field
+    psi, occ = split_state_to_complex(basis, split_res["U"],
+                                      split_res["occupation"], band_repr)
+    rho = jnp.asarray(np.asarray(jax.device_get(split_res["rho"]),
+                                 dtype=np.float64))
+    nb_total = psi.shape[1]
+    n_occ = int(np.max(np.sum(occ > occupation_threshold, axis=1)))
+    n_occ = max(1, min(n_occ, nb_total))
+    # the state is already at the f32 floor: start LOBPCG tight instead of
+    # walking the usual diagtol ladder down from 5e-3
+    scf_kwargs.setdefault("diagtol_max", 1e-6)
+    return self_consistent_field(basis, tol=tol, maxiter=maxiter,
+                                 rho=rho, psi=jnp.asarray(psi),
+                                 n_bands=n_occ,
+                                 n_extra_bands=nb_total - n_occ,
+                                 **scf_kwargs)
