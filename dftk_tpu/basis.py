@@ -129,6 +129,12 @@ class PlaneWaveBasis:
         from .ops.terms import instantiate_terms
         self.terms = instantiate_terms(self)
 
+        # whole-suite mesh mode (DFTK_TPU_MESH=N): shard every basis over a
+        # k-point device mesh, the analogue of the reference re-running its
+        # entire suite under mpiexec (test/runtests.jl:26-33)
+        from .parallel.mesh import maybe_auto_distribute
+        maybe_auto_distribute(self)
+
     # -------------------------------------------------------------------------
     def _build_spheres(self):
         model = self.model

@@ -27,6 +27,33 @@ def kpoint_mesh(n_devices: Optional[int] = None, devices=None):
     return Mesh(np.array(devices), axis_names=("kpts",))
 
 
+def maybe_auto_distribute(basis):
+    """Whole-suite mesh mode: if DFTK_TPU_MESH=N is set, shard the freshly
+    built basis over a k-point mesh of the largest divisor of n_kpoints
+    that is <= min(N, available devices).
+
+    This is the analogue of the reference re-executing its ENTIRE test
+    suite under `mpiexec -n 2` (test/runtests.jl:26-33): with the switch
+    on, every SCF/response/postprocess path in the suite runs on sharded
+    arrays.  A divisor (not phantom padding) is chosen so array shapes are
+    untouched and every shape/eigenvalue assert stays green; the padded
+    path has its own targeted tests (tests/test_parallel.py).
+    """
+    import os
+    val = os.environ.get("DFTK_TPU_MESH")
+    if not val:
+        return basis
+    want = min(int(val), len(jax.devices()))
+    size = 1
+    for d in range(min(basis.n_kpoints, want), 1, -1):
+        if basis.n_kpoints % d == 0:
+            size = d
+            break
+    if size < 2:
+        return basis
+    return shard_basis(basis, kpoint_mesh(size))
+
+
 def pad_basis_kpoints(basis, multiple):
     """Pad the k-point axis of a basis to a multiple of the mesh size.
 
