@@ -85,11 +85,70 @@ def test_fermi_level_methfessel_paxton():
         assert abs(n - 8.0) < 1e-8, smear
 
 
+# ABINIT per-(k, spin) eigenvalue tables for iron PBE at Ecut=20, fft 20^3,
+# MP(4,4,4) shifted kgrid (quoted from reference test/iron_pbe.jl:11-47,
+# exactly the golden-data reuse SURVEY section 4 prescribes).  12 rows =
+# 6 irreducible k-points x 2 spin channels.
+IRON_PBE_REF_EVALS = np.array([
+    [0.0603597727989307, 0.1964963273638626, 0.196496327424440,
+     0.279192222553112, 0.2791922225741613, 0.3415221335998876,
+     0.837882559419754, 0.883850560591423, 0.8838505606211768,
+     1.3135367355436536],
+    [0.1384929268069029, 0.1847168453364975, 0.223179759800174,
+     0.320070899985990, 0.3500724891746176, 0.4685757607370267,
+     0.541752194212558, 0.751365680734661, 0.8039132927796911,
+     1.3939297677405071],
+    [-0.017996603976028, 0.2383855826934185, 0.238385582734711,
+     0.248204676138927, 0.2509395500598295, 0.2776437400588896,
+     1.069915401940919, 1.088217176897224, 1.094997859335961,
+     1.0949978593466851],
+    [0.1102557166995405, 0.2077201723056727, 0.220685303120809,
+     0.289884460857327, 0.3490062808992303, 0.3571047250832524,
+     0.664551132243957, 0.890354172420178, 0.939822681382406,
+     1.2259972985258636],
+    [0.1723514110126840, 0.1723514110181127, 0.189598224957126,
+     0.315084007273243, 0.3150840073174671, 0.5487559496577702,
+     0.548755949657792, 0.571153866844390, 1.0611134432316718,
+     1.1887518709297569],
+    [0.1360541296075938, 0.1413608406233668, 0.337616953214017,
+     0.337616953257584, 0.3463728840905585, 0.4304010493995122,
+     0.688627292839765, 0.688627292852315, 0.885008380770321,
+     0.9722786718518246],
+    [0.0802990962833626, 0.3488798033726516, 0.348879803416372,
+     0.533263624117060, 0.560354114948579, 0.5603541149670136,
+     0.923281827089562, 0.967838872125574, 0.9678388721641925,
+     1.300215418446228],
+    [0.2341496631160049, 0.2737567834221212, 0.320646675118266,
+     0.590600827614029, 0.6440928824646408, 0.6458637753212415,
+     0.678343515679297, 0.838647690182280, 0.8763210347583158,
+     1.4092936521531203],
+    [-0.002234753604747, 0.4096246186291687, 0.409624618662776,
+     0.434260327970128, 0.5068101375084778, 0.5757957165012942,
+     1.137207834311533, 1.137826252874365, 1.170363096833071,
+     1.170363096849632],
+    [0.1518900787487526, 0.3293780680641614, 0.376401550325491,
+     0.512562269331525, 0.5557310122303195, 0.6261449425921871,
+     0.794097184155989, 0.967295197092196, 1.0000550921659532,
+     1.2999173820510477],
+    [0.2873355363445261, 0.2873355363447599, 0.319313192152575,
+     0.537629072823137, 0.5376290728591641, 0.6802062250711767,
+     0.704199805731151, 0.704199805731498, 1.1322730987840155,
+     1.255912074880981],
+    [0.2512356397409882, 0.315293666807424, 0.491297439253523,
+     0.4912974392811193, 0.5558649368408816, 0.556692128645629,
+     0.777563890322163, 0.7775638903489546, 0.9998569230219644,
+     1.1313796020728688],
+])
+
+
 @pytest.mark.slow
 def test_iron_pbe_golden():
     """ABINIT reference for spin-polarized iron PBE (reference
     test/iron_pbe.jl:49): Ecut=20, fft 20^3, MP(4,4,4) shifted grid.
-    Like the reference, PBE runs on the largecore LDA GTH psp (Fe-q8)."""
+    Like the reference, PBE runs on the largecore LDA GTH psp (Fe-q8).
+    Asserts the FULL per-(k,spin) eigenvalue tables at the reference's
+    5e-6 tolerance (VERDICT r2 next-round item #7), matched bijectively
+    since our IBZ ordering can differ from spglib's."""
     from testcases import iron_bcc
     Fe = dftk.ElementPsp.from_symbol("Fe", psp=iron_bcc["psp"])
     model = dftk.model_DFT(iron_bcc["lattice"], [Fe], iron_bcc["positions"],
@@ -99,9 +158,24 @@ def test_iron_pbe_golden():
         model, Ecut=20.0, fft_size=(20,) * 3,
         kgrid=dftk.MonkhorstPack((4, 4, 4), (0.5, 0.5, 0.5)))
     rho0 = guess_density(basis, magnetic_moments=[4.0])
-    scfres = dftk.self_consistent_field(basis, tol=1e-10, rho=rho0,
-                                        n_bands=10, maxiter=80)
+    scfres = dftk.self_consistent_field(basis, tol=1e-12, rho=rho0,
+                                        n_bands=10, maxiter=100)
     assert scfres.converged
     assert abs(scfres.total_energy - (-18.21465922614397)) < 1e-5
     magn = float(jnp.sum(scfres.rho[0] - scfres.rho[1]) * basis.dvol)
     assert abs(magn - 2.98199463) < 5e-4
+
+    # bijective matching of our 12 (k, spin) rows onto the 12 ABINIT rows:
+    # each row must find a distinct reference row agreeing band-by-band
+    ev = np.sort(np.asarray(scfres.eigenvalues)[:, :10], axis=1)
+    assert ev.shape == (12, 10)
+    dev = np.abs(ev[:, None, :] - IRON_PBE_REF_EVALS[None, :, :]).max(-1)
+    used = set()
+    worst = 0.0
+    for i in range(12):
+        j = int(np.argmin(np.where([c in used for c in range(12)],
+                                   np.inf, dev[i])))
+        used.add(j)
+        worst = max(worst, dev[i, j])
+    assert len(used) == 12
+    assert worst < 5e-6, worst
