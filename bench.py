@@ -90,10 +90,24 @@ def main():
 
     # chain the applies ON DEVICE (lax.fori_loop): one dispatch, honest
     # wall-clock including overlap - host-side async chaining can under-
-    # report on remote-execution backends
-    def chain(h, u):
-        return jax.lax.fori_loop(
-            0, n_iter, lambda i, x: apply_H_split(h, x, fft_size, vol), u)
+    # report on remote-execution backends.  The chain runs the way the
+    # production CheFSI filter does (compact-cube-resident, placement paid
+    # once per chain: engine_split.compact_filter_ops); set
+    # DFTK_BENCH_COMPACT=0 for the per-apply sphere-layout chain.
+    use_compact = os.environ.get("DFTK_BENCH_COMPACT", "1") not in (
+        "0", "false")
+    if use_compact:
+        from dftk_tpu.ops.engine_split import compact_filter_ops
+        enter, leave, apply_c = compact_filter_ops(ham, vol)
+
+        def chain(h, u):
+            x = enter(u)
+            x = jax.lax.fori_loop(0, n_iter, lambda i, y: apply_c(y), x)
+            return leave(x)
+    else:
+        def chain(h, u):
+            return jax.lax.fori_loop(
+                0, n_iter, lambda i, x: apply_H_split(h, x, fft_size, vol), u)
 
     f = jax.jit(chain)
     jax.block_until_ready(f(ham, U))               # compile + warm
