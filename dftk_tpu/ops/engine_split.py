@@ -834,7 +834,7 @@ def self_consistent_field_split(basis, tol=2e-5, maxiter=60, n_bands=None,
                                 mesh=None, band_repr="complex",
                                 rho0=None, U0=None, adaptive_bands=None,
                                 occupation_threshold=1e-6,
-                                compact_filter=True):
+                                compact_filter=True, use_ace=True):
     """SCF in the realified split engine (f32, complex-free device code).
 
     band_repr: "complex" (default) iterates nb complex bands as realified
@@ -889,6 +889,34 @@ def self_consistent_field_split(basis, tol=2e-5, maxiter=60, n_bands=None,
     kin2 = jnp.concatenate([sd.kin, sd.kin], axis=-1)
     Gsq = jnp.sum(sd.G_cart * sd.G_cart, axis=-1)
 
+    # ---- chip hybrids / DFT+U: split Fock(ACE) and Hubbard applies --------
+    has_exx = terms.exx_kernel_np is not None
+    has_hubbard = terms.hubbard_manifolds is not None
+    if (has_exx or has_hubbard) and paired:
+        raise NotImplementedError(
+            "ExactExchange/Hubbard in the split engine need the csplit band "
+            "representation (band_repr='complex')")
+    if has_exx:
+        assert basis.n_kpoints == nspin, \
+            "ExactExchange currently requires Gamma-point-only calculations" \
+            " (like the reference, terms/exact_exchange.jl:52)"
+        from .exx_split import (apply_exchange_split, apply_ace_split,
+                                build_ace_split, exchange_energy_split)
+        exx_kernel = jnp.asarray(terms.exx_kernel_np, dtype=dtype)
+    if has_hubbard:
+        from .hubbard import (apply_hubbard_split,
+                              build_hubbard_projectors,
+                              build_occupation_symmetrization,
+                              hubbard_energy_split,
+                              hubbard_potential_matrix_split,
+                              occupation_matrix_split, realify_projectors,
+                              symmetrize_occupation_matrix_split)
+        hub_Phi_c, hub_slices = build_hubbard_projectors(
+            basis, terms.hubbard_manifolds)
+        hub_Phi = realify_projectors(hub_Phi_c, dtype=dtype)
+        hub_plan = build_occupation_symmetrization(
+            basis, terms.hubbard_manifolds, hub_slices)
+
     from .eigen.lobpcg import lobpcg, ortho_qr
     if U0 is not None:
         # warm start / restart (checkpointed state from a previous run)
@@ -931,7 +959,7 @@ def self_consistent_field_split(basis, tol=2e-5, maxiter=60, n_bands=None,
     # the program as constants, which blows up the serialized HLO (remote
     # compile services reject it) and bloats the executable.
     def scf_step(sd_, kin2_, mask2_, rho_in, tau_in, U_in, diagtol,
-                 _cycles=None):
+                 exx_occ_in=None, _cycles=None):
         # V applied RAW pointwise (like the complex driver and the
         # reference): symmetrizing V was measured to break ABINIT golden
         # parity at ~6e-4 for SCAN (see scf/driver.py NOTE)
@@ -944,17 +972,46 @@ def self_consistent_field_split(basis, tol=2e-5, maxiter=60, n_bands=None,
             ham = make_split_ham(sd_, V)
         A = lambda u: apply_H_split(ham, u, fft_size, volume,
                                     band_chunk=band_chunk)
+        extra_applies = []
+        if has_exx:
+            f_norm = exx_occ_in / model.filled_occupation
+            if use_ace:
+                # compress the Fock operator once per step (two GEMMs per
+                # eigensolver matvec instead of nx Poisson solves)
+                xi = build_ace_split(exx_kernel, U_in, f_norm, sd_.Gidx,
+                                     sd_.mask, fft_size, volume)
+                extra_applies.append(lambda u: apply_ace_split(xi, u))
+            else:
+                extra_applies.append(lambda u: apply_exchange_split(
+                    exx_kernel, U_in, f_norm, u, sd_.Gidx, sd_.mask,
+                    fft_size, volume))
+        if has_hubbard:
+            occ_hub = exx_occ_in if exx_occ_in is not None else \
+                jnp.zeros(U_in.shape[:2], dtype=U_in.dtype)
+            nhr, nhi = occupation_matrix_split(
+                hub_Phi, U_in, occ_hub, sd_.kweights, sd_.kspin, nspin)
+            nhr, nhi = symmetrize_occupation_matrix_split(
+                nhr, nhi, hub_slices, hub_plan)
+            Vhr, Vhi = hubbard_potential_matrix_split(
+                nhr, nhi, terms.hubbard_manifolds, hub_slices,
+                model.filled_occupation)
+            extra_applies.append(lambda u: apply_hubbard_split(
+                hub_Phi, Vhr, Vhi, sd_.kspin, u))
+        if extra_applies:
+            base_A = A
+            A = lambda u: base_A(u) + sum(
+                x(u) for x in extra_applies) * mask2_[:, None, :]
         if eigensolver == "chefsi":
             from .eigen.chefsi import chefsi_step
             A_fast, wrap = None, None
             if (compact_filter and ham.fft_pruned is not None
-                    and ham.Vtau is None):
+                    and ham.Vtau is None and not extra_applies):
                 # compact-cube-resident filter: placement paid once per
                 # filter, not once per apply (compact_filter_ops docstring)
                 enter, leave, A_fast = compact_filter_ops(
                     ham, volume, precision=filter_precision)
                 wrap = (enter, leave)
-            elif filter_precision is not None:
+            elif filter_precision is not None and not extra_applies:
                 A_fast = lambda u: apply_H_split(
                     ham, u, fft_size, volume, band_chunk=band_chunk,
                     precision=filter_precision)
@@ -989,6 +1046,18 @@ def self_consistent_field_split(basis, tol=2e-5, maxiter=60, n_bands=None,
             V_out, energies = total_potential_split(terms, sd_, rho_out,
                                                     volume)
         energies.update(psi_energies_split(sd_, res.X, occ))
+        if has_exx:
+            energies["ExactExchange"] = exchange_energy_split(
+                exx_kernel, res.X, occ / model.filled_occupation, occ,
+                sd_.kweights, sd_.Gidx, sd_.mask, fft_size, volume)
+        if has_hubbard:
+            nor, noi = occupation_matrix_split(
+                hub_Phi, res.X, occ, sd_.kweights, sd_.kspin, nspin)
+            nor, noi = symmetrize_occupation_matrix_split(
+                nor, noi, hub_slices, hub_plan)
+            energies["Hubbard"] = hubbard_energy_split(
+                nor, noi, terms.hubbard_manifolds, hub_slices,
+                model.filled_occupation)
         if terms.has_entropy:
             energies["Entropy"] = entropy_energy(
                 res.eigenvalues, sd_.kweights, epsF, temperature, smearing,
@@ -1008,8 +1077,8 @@ def self_consistent_field_split(basis, tol=2e-5, maxiter=60, n_bands=None,
         return _step_cache[cycles]
 
     _scf_step = jax.jit(scf_step)
-    scf_step = lambda rho_in, tau_in, U_in, diagtol: _scf_step(
-        sd, kin2, mask2, rho_in, tau_in, U_in, diagtol)
+    scf_step = lambda rho_in, tau_in, U_in, diagtol, exx_occ=None: _scf_step(
+        sd, kin2, mask2, rho_in, tau_in, U_in, diagtol, exx_occ)
     if use_kerker is None:
         use_kerker = model.temperature > 0
     # autopilot (VERDICT #10): insulating systems of a few dozen atoms or
@@ -1056,6 +1125,14 @@ def self_consistent_field_split(basis, tol=2e-5, maxiter=60, n_bands=None,
     n_E_up = 0
     cycles_cur = chefsi_cycles
     step_fn = scf_step
+    exx_occ = None
+    if has_exx or has_hubbard:
+        # aufbau guess: exchange/Hubbard need occupations of U_in (complex
+        # driver does the same; csplit rows carry the physical f)
+        n_occ0 = int(round(model.n_electrons / (filled_r * mult)))
+        exx_occ = jnp.where(jnp.arange(nbr)[None, :] < n_occ0,
+                            jnp.asarray(filled_r, dtype=dtype), 0.0)
+        exx_occ = jnp.broadcast_to(exx_occ, (basis.n_kpoints, nbr))
     for it in range(maxiter):
         # CheFSI finisher: drho stalling across 3 iterations means the
         # filter depth is the accuracy ceiling -- deepen it (one extra
@@ -1066,10 +1143,12 @@ def self_consistent_field_split(basis, tol=2e-5, maxiter=60, n_bands=None,
             if len(d3) == 3 and d3[2] > 0.7 * d3[0]:
                 cycles_cur += 2
                 boosted = _get_step(cycles_cur)
-                step_fn = lambda r_, tau_, U_, t_, _b=boosted: _b(
-                    sd, kin2, mask2, r_, tau_, U_, t_)
+                step_fn = lambda r_, tau_, U_, t_, e_=None, _b=boosted: _b(
+                    sd, kin2, mask2, r_, tau_, U_, t_, e_)
         (rho_out, tau_out, U, eigvals, occ, epsF,
-         energies) = step_fn(rho, tau, U, diagtol)
+         energies) = step_fn(rho, tau, U, diagtol, exx_occ)
+        if has_exx or has_hubbard:
+            exx_occ = occ
         E_const = {"Ewald": terms.E_ewald,
                    "PspCorrection": terms.E_psp_correction}
         if auto_eps and it == 0:
@@ -1153,6 +1232,8 @@ def self_consistent_field_split(basis, tol=2e-5, maxiter=60, n_bands=None,
             if mesh is not None:
                 from ..parallel.mesh import orbital_sharding
                 U = jax.device_put(U, orbital_sharding(mesh))
+            if exx_occ is not None:     # grown vectors start unoccupied
+                exx_occ = jnp.pad(exx_occ, ((0, 0), (0, add)))
             nbr = nbr_new
             n_bands = n_bands + add_b        # scf_step closure reads these
             if callback:
@@ -1164,7 +1245,8 @@ def self_consistent_field_split(basis, tol=2e-5, maxiter=60, n_bands=None,
     energies_out = {k: float(jax.device_get(v)) for k, v in energies.items()}
     energies_out.update(E_const)
     energies_out["total"] = float(sum(energies_out.values()))
-    ev = np.sort(np.asarray(jax.device_get(eigvals)), axis=1)
+    from ..parallel.multihost import fetch
+    ev = np.sort(fetch(eigvals), axis=1)
     if paired:
         ev = ev[:, ::2]                 # deduplicate the spectrum pairing
     return dict(energies=energies_out, eigenvalues=ev, U=U,

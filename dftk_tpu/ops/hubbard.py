@@ -181,3 +181,90 @@ def symmetrize_occupation_matrix(n, slices, plan):
                                    n[:, a2:b2, a2:b2], Dj)
         out = out.at[:, a:b, a:b].set(acc / len(ops))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Split-engine (realified, complex-free) Hubbard path: the same physics on
+# TPU backends without complex dtype support.  Orbitals/projectors live as
+# realified rows [*, n, 2nG]; the occupation matrix as an (nr, ni) pair with
+# nr symmetric and ni antisymmetric (Hermitian split).
+# ---------------------------------------------------------------------------
+
+def realify_projectors(Phi, dtype=None):
+    """Complex Phi [nk, nG, n_orb] -> realified rows [nk, n_orb, 2nG]."""
+    z = np.moveaxis(np.asarray(Phi), -1, 1)
+    out = np.concatenate([z.real, z.imag], axis=-1)
+    return jnp.asarray(out, dtype=dtype)
+
+
+def occupation_matrix_split(Phi_r, U, occupation, kweights, kspin, n_spin):
+    """(nr, ni) [nspin, n_orb, n_orb] from realified bands (csplit repr:
+    occupation is the physical f per row)."""
+    from .eigen.csplit import cgram
+    Pr, Pi = cgram(Phi_r, U)                       # <phi_m|psi_n> [nk,no,nb]
+    w = kweights[:, None] * occupation             # [nk, nb]
+    nr_k = jnp.einsum("kn,kmn,kpn->kmp", w, Pr, Pr) \
+        + jnp.einsum("kn,kmn,kpn->kmp", w, Pi, Pi)
+    ni_k = jnp.einsum("kn,kmn,kpn->kmp", w, Pi, Pr) \
+        - jnp.einsum("kn,kmn,kpn->kmp", w, Pr, Pi)
+    sel = jax.nn.one_hot(kspin, n_spin, dtype=nr_k.dtype)
+    nr = jnp.einsum("ks,kmp->smp", sel, nr_k)
+    ni = jnp.einsum("ks,kmp->smp", sel, ni_k)
+    return ((nr + nr.transpose(0, 2, 1)) / 2,
+            (ni - ni.transpose(0, 2, 1)) / 2)
+
+
+def hubbard_energy_split(nr, ni, manifolds, slices, filled):
+    """E_U = sum U/2 Tr[n(1-n)] on the Hermitian split pair: Tr[n] = Tr[nr],
+    Tr[n^2] = Tr[nr nr] - Tr[ni ni] (ni antisymmetric)."""
+    nspin = nr.shape[0]
+    scale = filled if nspin == 1 else 1.0
+    E = 0.0
+    for mf, (a, b) in zip(manifolds, slices):
+        for s in range(nspin):
+            ar = nr[s, a:b, a:b] / scale
+            ai = ni[s, a:b, a:b] / scale
+            tr = jnp.trace(ar) - (jnp.sum(ar * ar.T) - jnp.sum(ai * ai.T))
+            E = E + scale * mf.U / 2 * tr
+    return E
+
+
+def hubbard_potential_matrix_split(nr, ni, manifolds, slices, filled):
+    """(Vr, Vi): U (1/2 delta - n) blockwise on the split pair."""
+    nspin = nr.shape[0]
+    scale = filled if nspin == 1 else 1.0
+    Vr = jnp.zeros_like(nr)
+    Vi = jnp.zeros_like(ni)
+    for mf, (a, b) in zip(manifolds, slices):
+        for s in range(nspin):
+            eye = jnp.eye(b - a, dtype=nr.dtype)
+            Vr = Vr.at[s, a:b, a:b].set(mf.U * (0.5 * eye
+                                                - nr[s, a:b, a:b] / scale))
+            Vi = Vi.at[s, a:b, a:b].set(-mf.U * ni[s, a:b, a:b] / scale)
+    return Vr, Vi
+
+
+def apply_hubbard_split(Phi_r, Vr, Vi, kspin, U):
+    """H psi += sum_{mm'} V_{mm'} |phi_m><phi_m'|psi on realified bands."""
+    from .eigen.csplit import cgram, cmatsmall, crotate
+    Pr, Pi = cgram(Phi_r, U)                       # <phi_m|psi_n> [nk,no,nb]
+    Vkr, Vki = Vr[kspin], Vi[kspin]                # [nk, no, no]
+    Cr, Ci = cmatsmall(Vkr, Vki, Pr, Pi)           # C = V @ P
+    return crotate(Cr, Ci, Phi_r)
+
+
+def symmetrize_occupation_matrix_split(nr, ni, slices, plan):
+    """Symmetry-average the split pair; the rotation matrices D are real
+    (real spherical harmonics), so both parts transform independently."""
+    out_r, out_i = nr, ni
+    for (a, b), ops in zip(slices, plan):
+        acc_r, acc_i = 0.0, 0.0
+        for (a2, b2), D in ops:
+            Dj = jnp.asarray(D, dtype=nr.dtype)
+            acc_r = acc_r + jnp.einsum("pm,spq,qr->smr", Dj,
+                                       nr[:, a2:b2, a2:b2], Dj)
+            acc_i = acc_i + jnp.einsum("pm,spq,qr->smr", Dj,
+                                       ni[:, a2:b2, a2:b2], Dj)
+        out_r = out_r.at[:, a:b, a:b].set(acc_r / len(ops))
+        out_i = out_i.at[:, a:b, a:b].set(acc_i / len(ops))
+    return out_r, out_i
