@@ -328,7 +328,7 @@ def compute_stresses_split(basis, sd, U, occupation, dtype=None):
     stress = np.asarray(jax.device_get(grad), dtype=np.float64) / vol
 
     # ---- density terms: host f64 (CPU backend, x64 upgrade) ----------------
-    cpu = jax.devices("cpu")[0]
+    cpu = jax.local_devices(backend="cpu")[0]
     xy_np = np.asarray(jax.device_get(xy), dtype=np.float64)
     wocc_np = np.asarray(jax.device_get(wocc), dtype=np.float64)
     with jax.enable_x64(True), jax.default_device(cpu):

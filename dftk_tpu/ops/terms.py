@@ -326,7 +326,7 @@ def instantiate_terms(basis) -> Terms:
             if len(charges) > 0:
                 eta = term.eta or default_eta(model.lattice)
                 # setup-time electrostatics in f64 on the host CPU backend
-                with jax.default_device(jax.devices("cpu")[0]):
+                with jax.default_device(jax.local_devices(backend="cpu")[0]):
                     E, F = energy_forces_ewald(model.lattice, charges,
                                                np.stack(model.positions), eta=eta)
                     E_ewald = float(E)

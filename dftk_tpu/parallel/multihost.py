@@ -11,10 +11,11 @@ DCN replaces the inter-node fabric):
     # ... run the same mesh-sharded SCF as single-host; XLA routes the
     # k-point psum over ICI within a host and DCN across hosts.
 
-Nothing here can be exercised in a single-host CI - the sharded compute
-itself is covered by the virtual-device equality tests (tests/
-test_parallel.py), which validate the identical program on an 8-device
-mesh.
+Exercised in CI by tests/test_multihost.py: two OS processes (2 virtual
+CPU devices each) form one 4-device global mesh with gloo cross-process
+collectives — the CPU stand-in for DCN — and the sharded split SCF matches
+the single-process run to 1e-10.  Single-host sharding equality is covered
+separately on an 8-device mesh (tests/test_parallel.py).
 """
 import jax
 import numpy as np
@@ -50,3 +51,20 @@ def local_kpoint_slice(n_kpoints_padded, axis_name="kpts"):
     lo = jax.process_index() * jax.local_device_count() * per
     hi = lo + jax.local_device_count() * per
     return lo, hi
+
+
+def fetch(arr):
+    """Device array -> host numpy, multi-process safe.
+
+    Fully-addressable (single-process) and fully-replicated arrays fetch
+    directly; k-sharded global arrays are allgathered across processes
+    first (the analogue of the reference's MPI gather of per-rank k-point
+    blocks before host-side postprocessing, src/common/mpi.jl).
+    """
+    import jax.numpy as jnp
+    if not isinstance(arr, jax.Array):
+        return np.asarray(arr)
+    if arr.is_fully_addressable or arr.is_fully_replicated:
+        return np.asarray(jax.device_get(arr))
+    from jax.experimental import multihost_utils
+    return np.asarray(multihost_utils.process_allgather(arr, tiled=True))
