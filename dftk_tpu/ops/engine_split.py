@@ -717,6 +717,10 @@ def xc_energy_split(functionals, rho, G_cart, volume, scaling=1.0, tau=None):
 
     E = 0.0
     for f, fscale in functionals:
+        if f.energy is None:
+            raise NotImplementedError(
+                f"potential-only functional {f.name} (TB09/mBJ) is not "
+                "available in the split engine yet; use the complex driver")
         if f.family == "mgga":
             E = E + fscale * jnp.sum(f.energy(rho, sigma, tau))
         else:

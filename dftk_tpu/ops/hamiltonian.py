@@ -208,6 +208,8 @@ def xc_energy(functionals, rho, G_cube_cart, volume, scaling=1.0, tau=None):
 
     E = 0.0
     for f, fscale in functionals:
+        if f.energy is None:           # potential-only (TB09): no energy
+            continue
         if f.family == "mgga":
             E = E + fscale * jnp.sum(f.energy(rho, sigma, tau))
         else:
@@ -266,6 +268,14 @@ def total_potential(terms: Terms, rho, G_cube_cart, volume, tau=None):
                                     terms.xc_scaling))(rho_xc)
         energies["Xc"] = exc
         V = V + Vxc / dvol
+        # potential-only functionals (TB09/mBJ): multiplicative V added
+        # directly -- no energy term exists (documented non-variational)
+        for f, fscale in terms.xc:
+            if f.potential is not None:
+                tau_po = None if tau is None else tau + (
+                    tau_shift if terms.tau_core_np is not None else 0.0)
+                V = V + (terms.xc_scaling * fscale) * f.potential(
+                    rho_xc, G_cube_cart, tau_po)
 
     # Local nonlinearity (Gross-Pitaevskii style)
     if terms.local_nonlinearity is not None:

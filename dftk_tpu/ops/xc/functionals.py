@@ -253,8 +253,11 @@ def gga_c_pbe_sol_energy(rho, sigma):
 @dataclasses.dataclass(frozen=True)
 class Functional:
     name: str
-    family: str                        # "lda" | "gga"
-    energy: Callable                   # (rho, sigma) -> energy density / volume
+    family: str                        # "lda" | "gga" | "mgga"
+    energy: Callable = None            # (rho, sigma[, tau]) -> energy/volume
+    # potential-ONLY functionals (TB09/mBJ): no energy exists; the
+    # multiplicative V is evaluated directly (ops/xc/tb09.py)
+    potential: Callable = None         # (rho, G_cube_cart, tau) -> V
 
 
 def _scan_wrapper(rho, sigma, tau=None):
@@ -275,6 +278,11 @@ def _tpss_x_wrapper(rho, sigma, tau=None):
 def _tpss_c_wrapper(rho, sigma, tau=None):
     from .mgga import tpss_c_energy
     return tpss_c_energy(rho, sigma, tau)
+
+
+def _tb09_wrapper(rho, G_cube_cart, tau):
+    from .tb09 import tb09_potential
+    return tb09_potential(rho, G_cube_cart, tau)
 
 
 # ---------------------------------------------------------------------------
@@ -377,6 +385,7 @@ FUNCTIONALS = {
     "mgga_x_tpss": Functional("mgga_x_tpss", "mgga", _tpss_x_wrapper),
     "mgga_c_tpss": Functional("mgga_c_tpss", "mgga", _tpss_c_wrapper),
     "gga_x_wpbeh": make_gga_x_wpbeh(0.11),
+    "mgga_x_tb09": Functional("mgga_x_tb09", "mgga", None, _tb09_wrapper),
 }
 
 # Named functional sets mirroring DFTK standard_models.jl:163-166
@@ -388,6 +397,9 @@ FUNCTIONAL_SETS = {
     "SCAN": ("mgga_x_scan",),
     "r2SCAN": ("mgga_x_r2scan",),
     "TPSS": ("mgga_x_tpss", "mgga_c_tpss"),
+    # potential-only mBJ exchange + LDA correlation (the pairing of the
+    # reference's silicon_TB09 ABINIT deck); energies are non-variational
+    "TB09": ("mgga_x_tb09", "lda_c_pw"),
 }
 
 

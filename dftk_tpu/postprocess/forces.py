@@ -195,6 +195,10 @@ def _projector_form_factors(basis, psp):
 def compute_forces(scfres, basis=None):
     """Forces in reduced coordinates, [n_atoms, 3] (numpy)."""
     basis = basis or scfres.basis
+    if any(f.potential is not None for f, _ in basis.terms.xc):
+        raise NotImplementedError(
+            "forces are undefined for potential-only functionals (TB09/mBJ "
+            "has no energy functional to differentiate)")
     positions = jnp.asarray(np.stack(basis.model.positions))
     tau = getattr(scfres, "tau", None)
     grad = jax.grad(

@@ -225,6 +225,10 @@ def compute_stresses_cart(scfres, basis=None):
     sigma = (1/Omega) dE[(I + eps) L] / d eps  at eps = 0.
     """
     basis = basis or scfres.basis
+    if any(f.potential is not None for f, _ in basis.terms.xc):
+        raise NotImplementedError(
+            "stresses are undefined for potential-only functionals "
+            "(TB09/mBJ has no energy functional to differentiate)")
     model = basis.model
     L0 = jnp.asarray(model.lattice)
     vol = model.unit_cell_volume
