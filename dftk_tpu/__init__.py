@@ -20,11 +20,11 @@ from .models.psp_hgh import (PspHgh, list_psp, load_psp, load_psp_hgh,
 from .models import smearing as Smearing
 from .basis import PlaneWaveBasis
 from .bzmesh import ExplicitKpoints, MonkhorstPack, kgrid_from_maximal_spacing
-from .ops.terms import (AtomicLocal, AtomicNonlocal, BlowupAbinit, BlowupCHV,
-                        BlowupIdentity, Entropy, Ewald, ExactExchange,
-                        ExternalFromFourier, ExternalFromReal, Hartree,
-                        Kinetic, LocalNonlinearity, PairwisePotential,
-                        PspCorrection, Xc)
+from .ops.terms import (Anyonic, AtomicLocal, AtomicNonlocal, BlowupAbinit,
+                        BlowupCHV, BlowupIdentity, Entropy, Ewald,
+                        ExactExchange, ExternalFromFourier, ExternalFromReal,
+                        Hartree, Kinetic, LocalNonlinearity,
+                        PairwisePotential, PspCorrection, Xc)
 from .ops.terms import Hubbard
 from .ops.hubbard import HubbardManifold
 from .ops.coulomb import (Coulomb, LongRangeCoulomb, ShortRangeCoulomb,

@@ -42,7 +42,8 @@ class Model:
         self.positions = [np.asarray(p, dtype=float) for p in self.positions]
         assert len(self.atoms) == len(self.positions)
 
-        self.inv_lattice = np.linalg.inv(self.lattice)
+        self.n_dim = lat.lattice_n_dim(self.lattice)
+        self.inv_lattice = lat.block_inverse(self.lattice)
         self.recip_lattice = lat.compute_recip_lattice(self.lattice)
         self.unit_cell_volume = float(lat.compute_unit_cell_volume(self.lattice))
 

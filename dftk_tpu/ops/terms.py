@@ -167,6 +167,17 @@ class ExactExchange:
 
 
 @dataclasses.dataclass(frozen=True)
+class Anyonic:
+    """Average-field anyons in 2D (reference terms/anyonic.jl;
+    arXiv:1901.10739): a density-dependent Chern-Simons gauge field.
+    Use with Kinetic(scaling_factor=2) and direct_minimization, like the
+    reference example (examples/anyons.jl); ops/anyonic.py has the
+    physics.  Requires Gamma-only, n_dim == 2, square lattice, nspin 1."""
+    hbar: float = 1.0
+    beta: float = 0.0
+
+
+@dataclasses.dataclass(frozen=True)
 class PairwisePotential:
     """Classical pairwise interaction sum_{i<j,R} V(|ri - rj - R|)
     (reference terms/pairwise.jl), e.g. Lennard-Jones between nuclei.
@@ -205,6 +216,7 @@ class Terms:
     kin_np: Optional[np.ndarray]         # kinetic override (blow-up), or None
     exx_kernel_np: Optional[np.ndarray]  # Fourier exchange kernel, or None
     hubbard_manifolds: Optional[tuple]
+    anyonic: Optional[tuple]             # (hbar, beta, rho_ref, Aref) or None
     Apot_np: Optional[np.ndarray]        # [n1,n2,n3,3] vector potential
     E_pairwise: float
     pairwise_forces: Optional[np.ndarray]
@@ -272,6 +284,7 @@ def instantiate_terms(basis) -> Terms:
     pairwise_forces = None
     exx_kernel = None
     hubbard_manifolds = None
+    anyonic = None
     Apot_np = None
     for term in types:
         if isinstance(term, Kinetic):
@@ -287,6 +300,17 @@ def instantiate_terms(basis) -> Terms:
             assert Apot_np.shape == basis.fft_size + (3,)
         elif isinstance(term, Hubbard):
             hubbard_manifolds = tuple(term.manifolds)
+        elif isinstance(term, Anyonic):
+            from .anyonic import make_div_free, reference_fields
+            assert model.n_dim == 2, "Anyonic requires a 2D lattice"
+            assert model.n_spin_components == 1
+            assert model.lattice[0, 1] == model.lattice[1, 0] == 0 and \
+                model.lattice[0, 0] == model.lattice[1, 1], \
+                "Anyonic requires a square lattice (anyonic.jl:71-75)"
+            rho_ref, Aref = reference_fields(model.lattice, basis.fft_size,
+                                             model.n_electrons)
+            Aref = make_div_free(Aref, basis.G_cube_cart)
+            anyonic = (float(term.hbar), float(term.beta), rho_ref, Aref)
         elif isinstance(term, ExactExchange):
             from .coulomb import Coulomb as _Coulomb
             kern = term.kernel if term.kernel is not None else _Coulomb()
@@ -345,7 +369,7 @@ def instantiate_terms(basis) -> Terms:
                   P_np=P, D_np=D, Gsq_np=Gsq,
                   kinetic_scale=float(kinetic_scale),
                   rho_core_np=rho_core, tau_core_np=tau_core,
-                  kin_np=kin_np, exx_kernel_np=exx_kernel,
+                  kin_np=kin_np, exx_kernel_np=exx_kernel, anyonic=anyonic,
                   hubbard_manifolds=hubbard_manifolds,
                   Apot_np=Apot_np,
                   E_pairwise=E_pairwise,

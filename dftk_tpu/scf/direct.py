@@ -34,6 +34,16 @@ def energy_from_orbitals(basis, psi, occupation, symmetrizer=None):
     ham = hamops.build_ham(basis.data, terms.data, V)
     energies.update(hamops.psi_energies(ham, terms, psi, occupation,
                                         basis.data.kweights))
+    if terms.anyonic is not None:
+        # pure energy functional of psi: jax.grad of it reproduces the
+        # reference's hand-derived current-response operator automatically
+        # (ops/anyonic.py docstring; validated in tests/test_anyonic.py)
+        from ..ops.anyonic import anyonic_energy
+        hbar, beta, rho_ref, Aref = terms.anyonic
+        energies["Anyonic"] = anyonic_energy(
+            basis.data, psi, occupation, jnp.sum(rho, axis=0),
+            jnp.asarray(rho_ref), jnp.asarray(Aref), Gcart, hbar, beta,
+            basis.fft_size, model.unit_cell_volume)
     E = sum(energies.values()) + terms.E_ewald + terms.E_psp_correction
     return E, rho
 

@@ -159,6 +159,12 @@ def self_consistent_field(
     model = basis.model
     terms = basis.terms
     nspin = model.n_spin_components
+    if terms.anyonic is not None:
+        raise NotImplementedError(
+            "the Anyonic term is solved by direct_minimization (its "
+            "Hamiltonian depends on the orbitals through the current); "
+            "see examples in tests/test_anyonic.py and the reference "
+            "examples/anyons.jl, which does the same")
 
     if nbandsalg is not None:
         n_bands, nb_total = nbandsalg.bands(model)

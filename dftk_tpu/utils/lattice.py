@@ -22,17 +22,43 @@ def _inv(lattice):
     return jnp.linalg.inv(lattice)
 
 
+def lattice_n_dim(lattice):
+    """Number of non-zero lattice vectors (columns); 2 for slabs-in-vacuum
+    style 2D systems declared with a zero third vector (reference
+    Model.jl:173)."""
+    M = np.asarray(lattice, dtype=float)
+    return int(sum(1 for c in range(3) if np.any(M[:, c] != 0)))
+
+
+def block_inverse(lattice):
+    """Matrix inverse honoring reduced dimensions: for a lattice with
+    trailing zero columns, invert the leading n_dim x n_dim block and keep
+    the rest zero (reference structure.jl:4-16; pinv without the SVD)."""
+    M = np.asarray(lattice, dtype=float)
+    nd = lattice_n_dim(M)
+    if nd == 3:
+        return np.linalg.inv(M)
+    out = np.zeros((3, 3))
+    out[:nd, :nd] = np.linalg.inv(M[:nd, :nd])
+    return out
+
+
 def compute_recip_lattice(lattice):
-    """B with reciprocal lattice vectors as columns: B^T A = 2 pi I."""
+    """B with reciprocal lattice vectors as columns: B^T A = 2 pi I
+    (restricted to the periodic dimensions for 1D/2D systems)."""
     if isinstance(lattice, np.ndarray):
-        return 2 * np.pi * np.linalg.inv(lattice.T)
+        return 2 * np.pi * block_inverse(lattice).T
     import jax.numpy as jnp
     return 2 * jnp.pi * jnp.linalg.inv(lattice.T)
 
 
 def compute_unit_cell_volume(lattice):
+    """abs(det) over the periodic dimensions (length/area for 1D/2D,
+    reference structure.jl:31-34)."""
     if isinstance(lattice, np.ndarray):
-        return abs(np.linalg.det(lattice))
+        M = np.asarray(lattice, dtype=float)
+        nd = lattice_n_dim(M)
+        return abs(np.linalg.det(M[:nd, :nd]))
     import jax.numpy as jnp
     return jnp.abs(jnp.linalg.det(lattice))
 
@@ -53,7 +79,7 @@ def estimate_integer_lattice_bounds(M, delta, shift=None):
     Mirrors DFTK `src/structure.jl` estimate_integer_lattice_bounds.
     """
     M = np.asarray(M, dtype=float)
-    inv_lattice_t = np.linalg.inv(M.T)
+    inv_lattice_t = block_inverse(M).T      # handles reduced-dim lattices
     xlims = np.linalg.norm(inv_lattice_t, axis=0) * float(delta)
     if shift is not None:
         xlims = xlims + np.asarray(shift, dtype=float)

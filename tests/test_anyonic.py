@@ -1,0 +1,171 @@
+"""Anyonic term: gauge-field identities, AD-vs-hand-operator, ground state.
+
+The AD-vs-hand test is the load-bearing one: the energy functional
+(ops/anyonic.py:anyonic_energy) differentiates into the full Hamiltonian
+including the current-response potential the reference derives BY HAND
+(src/terms/anyonic.jl:136-152) — agreement of jax.grad with apply_anyonic
+validates both derivations against each other.
+"""
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import dftk_tpu as dftk
+from dftk_tpu.ops.anyonic import (anyonic_energy, apply_anyonic, gauge_field,
+                                  make_div_free, reference_fields)
+
+A_CELL = 14.0
+
+
+def _basis(Ecut=10.0, beta=5.0):
+    lattice = np.diag([A_CELL, A_CELL, 0.0])
+    pot = lambda r: (r[..., 0] - A_CELL / 2) ** 2 + (r[..., 1] - A_CELL / 2) ** 2
+    m = dftk.Model(lattice, atoms=[], positions=[], n_electrons=1,
+                   spin_polarization="spinless",
+                   term_types=[dftk.Kinetic(scaling_factor=2.0),
+                               dftk.ExternalFromReal(pot),
+                               dftk.Anyonic(hbar=1.0, beta=beta)],
+                   symmetries=False)
+    return dftk.PlaneWaveBasis(m, Ecut=Ecut, kgrid=(1, 1, 1))
+
+
+def test_gauge_field_identities():
+    """curl A = 2 pi rho and div A = 0, spectrally, incl. the LR/SR split."""
+    b = _basis(Ecut=8.0)
+    hbar, beta, rho_ref, Aref = b.terms.anyonic
+    G = jnp.asarray(b.G_cube_cart)
+    # a smooth normalized test density (mass matches rho_ref's M)
+    n1, n2, _ = b.fft_size
+    xs = np.arange(n1) / n1
+    g = np.exp(-((xs - .5)[:, None] ** 2 + (xs - .4)[None, :] ** 2) * 40.0)
+    rho = g[:, :, None] * np.ones((1,))
+    rho = rho / (rho.sum() * b.dvol) * b.model.n_electrons
+    A = gauge_field(jnp.asarray(rho), jnp.asarray(rho_ref), jnp.asarray(Aref),
+                    G)
+    Gx, Gy = G[..., 0], G[..., 1]
+
+    def curl_div(Af):
+        ax = jnp.fft.fftn(Af[..., 0])
+        ay = jnp.fft.fftn(Af[..., 1])
+        return (jnp.fft.ifftn(1j * (Gx * ay - Gy * ax)).real,
+                jnp.fft.ifftn(1j * (Gx * ax + Gy * ay)).real)
+
+    # SR part: machine-exact curl identity against the solver's actual
+    # source (Nyquist planes projected out, DC zeroed by construction --
+    # the sampled rho_ref's mass misses M by its discretization deficit)
+    from dftk_tpu.ops.anyonic import nyquist_mask
+    src = jnp.fft.fftn(jnp.asarray(rho - rho_ref)) * nyquist_mask(b.fft_size)
+    src = src.at[0, 0, 0].set(0.0)
+    src = jnp.fft.ifftn(src).real
+    curl_sr, div_sr = curl_div(A - jnp.asarray(Aref))
+    assert float(jnp.abs(curl_sr - 2 * math.pi * src).max()) < 1e-10
+    assert float(jnp.abs(div_sr).max()) < 1e-10
+    # ... and the projected-out content is tiny for physical densities
+    assert float(jnp.abs(src - (rho - rho_ref)
+                         + jnp.mean(rho - rho_ref)).max()) < 1e-4
+
+    # total field: div A = 0 globally (the massful part of rho has no
+    # periodic gauge field -- that is the entire point of the LR/SR split,
+    # so "curl A = 2 pi rho" holds only up to Aref's periodic-image tails,
+    # same as the reference).  The ANALYTIC Aref is validated locally by a
+    # finite-difference curl, which sees no boundary Gibbs:
+    _, div = curl_div(A)
+    assert float(jnp.abs(div).max()) < 1e-10
+
+    rho_ref2, Aref_raw = reference_fields(b.model.lattice, b.fft_size,
+                                          b.model.n_electrons)
+    h = A_CELL / n1
+    curl_fd = ((np.roll(Aref_raw[..., 1], -1, axis=0)
+                - np.roll(Aref_raw[..., 1], 1, axis=0))
+               - (np.roll(Aref_raw[..., 0], -1, axis=1)
+                  - np.roll(Aref_raw[..., 0], 1, axis=1))) / (2 * h)
+    sl = (slice(n1 // 3, 2 * n1 // 3), slice(n2 // 3, 2 * n2 // 3))
+    resid_ref = (curl_fd - 2 * math.pi * rho_ref2)[sl]
+    assert np.abs(resid_ref).max() \
+        < 1e-2 * np.abs(2 * math.pi * rho_ref2).max()   # O(h^2) FD floor
+
+
+def test_div_free_projection():
+    b = _basis(Ecut=8.0)
+    rng = np.random.default_rng(0)
+    A = rng.normal(size=b.fft_size + (2,))
+    Ap = make_div_free(A, b.G_cube_cart)
+    Gx, Gy = b.G_cube_cart[..., 0], b.G_cube_cart[..., 1]
+    div = np.fft.ifftn(1j * (Gx * np.fft.fftn(Ap[..., 0])
+                             + Gy * np.fft.fftn(Ap[..., 1]))).real
+    assert np.abs(div).max() < 1e-10
+    assert np.abs(make_div_free(Ap, b.G_cube_cart) - Ap).max() < 1e-12
+
+
+def test_ad_gradient_matches_hand_operator():
+    """jax.grad(E_anyonic) == 2 w f (H_hand psi): the AD route reproduces
+    the reference's hand-derived current-response potential exactly."""
+    from dftk_tpu.ops.density import compute_density
+    b = _basis(Ecut=8.0)
+    hbar, beta, rho_ref, Aref = b.terms.anyonic
+    bd = b.data
+    G = jnp.asarray(b.G_cube_cart)
+    rho_ref = jnp.asarray(rho_ref)
+    Aref = jnp.asarray(Aref)
+    vol = b.model.unit_cell_volume
+
+    rng = np.random.default_rng(1)
+    psi = rng.normal(size=(1, 1, b.nG_max)) + 1j * rng.normal(
+        size=(1, 1, b.nG_max))
+    psi = jnp.asarray(psi) * bd.mask[:, None, :]
+    psi = psi / jnp.linalg.norm(psi)
+    occ = jnp.ones((1, 1))
+
+    def E(p):
+        rho = compute_density(bd, p, occ, b.fft_size, vol, 1)
+        return anyonic_energy(bd, p, occ, jnp.sum(rho, axis=0), rho_ref,
+                              Aref, G, hbar, beta, b.fft_size, vol)
+
+    grad = jax.grad(E)(psi)
+    # jax complex-grad convention (measured): dE = Re(sum g . d), so for a
+    # Hermitian quadratic form g = 2 conj(H psi)
+    fd_dir = None
+    rng2 = np.random.default_rng(2)
+    d = rng2.normal(size=psi.shape) + 1j * rng2.normal(size=psi.shape)
+    d = jnp.asarray(d) * bd.mask[:, None, :]
+    eps = 1e-6
+    fd_dir = (E(psi + eps * d) - E(psi - eps * d)) / (2 * eps)
+    assert abs(float(fd_dir) - float(jnp.real(jnp.sum(grad * d)))) \
+        < 1e-6 * abs(float(fd_dir))
+
+    rho = compute_density(bd, psi, occ, b.fft_size, vol, 1)
+    Hpsi = apply_anyonic(bd, psi, occ, jnp.sum(rho, axis=0), rho_ref, Aref,
+                         G, hbar, beta, b.fft_size, vol)
+    w = (bd.kweights[:, None] * occ)[:, :, None]
+    diff = jnp.abs(grad - 2 * jnp.conj(w * Hpsi))
+    assert float(diff.max()) < 1e-12 * float(jnp.abs(grad).max())
+
+
+def test_beta_zero_is_harmonic_oscillator():
+    """beta=0: E -> ground state of -Delta + r^2 in 2D, i.e. exactly 2."""
+    b = _basis(Ecut=12.0, beta=0.0)
+    res = dftk.direct_minimization(b, tol=1e-10)
+    assert abs(res.total_energy - 2.0) < 1e-3
+
+
+@pytest.mark.slow
+def test_anyon_ground_state():
+    """The reference example (examples/anyons.jl) at reduced Ecut: direct
+    minimization of the full anyon functional converges; the gauge field
+    raises E above the beta=0 oscillator value 2; and the scale-invariant
+    ratio e(1,1)/(2 pi) ~ 0.5787 is pinned as a regression anchor (the
+    machinery itself is validated at machine precision against the
+    hand-derived operator in test_ad_gradient_matches_hand_operator)."""
+    b = _basis(Ecut=20.0, beta=5.0)
+    res = dftk.direct_minimization(b, tol=1e-9, maxiter=2000)
+    E = res.total_energy
+    assert res.converged
+    assert E > 2.0                       # gauge field costs energy
+    assert abs(E - 3.20739) < 2e-3       # measured at Ecut 20, a = 14
+    s = 2
+    e11 = (math.pi / 2 * (2 * (s + 1) / s) ** ((s + 2) / s)
+           * (s / (s + 2)) ** (2 * (s + 1) / s) * E ** ((s + 2) / s) / 5.0)
+    assert abs(e11 / (2 * math.pi) - 0.5787) < 1e-3
