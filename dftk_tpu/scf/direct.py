@@ -164,6 +164,13 @@ def direct_minimization(basis, tol=1e-8, maxiter=300, psi=None,
     psi = jnp.einsum("knm,kng->kmg", Y, psi)
     energies.update(hamops.psi_energies(ham, basis.terms, psi, occ,
                                         bd.kweights))
+    if basis.terms.anyonic is not None:
+        from ..ops.anyonic import anyonic_energy
+        hbar_a, beta_a, rho_ref_a, Aref_a = basis.terms.anyonic
+        energies["Anyonic"] = anyonic_energy(
+            bd, psi, occ, jnp.sum(rho, axis=0), jnp.asarray(rho_ref_a),
+            jnp.asarray(Aref_a), Gcart, hbar_a, beta_a, basis.fft_size,
+            model.unit_cell_volume)
     energies_out = {k: float(v) for k, v in energies.items()}
     energies_out["Ewald"] = basis.terms.E_ewald
     energies_out["PspCorrection"] = basis.terms.E_psp_correction

@@ -151,21 +151,41 @@ def test_beta_zero_is_harmonic_oscillator():
     assert abs(res.total_energy - 2.0) < 1e-3
 
 
+def _vortex_guess(b, m):
+    """Winding-m Gaussian vortex: the anyon ground state carries angular
+    momentum, and plain descent from a real (J=0) warm start stays on the
+    real slice (a higher stationary point at E=5.56) — the same reason the
+    reference caps maxiter "as guess can be bad" (test/anyons.jl:49)."""
+    from dftk_tpu.ops import fft as fftops
+    n1, n2, n3 = b.fft_size
+    xs = (np.arange(n1) / n1 - 0.5) * A_CELL
+    X, Y = np.meshgrid(xs, xs, indexing="ij")
+    zc = (X + 1j * np.sign(m) * Y) ** abs(m) if m != 0 else np.ones_like(X)
+    psi_r = (zc * np.exp(-(X ** 2 + Y ** 2) / 2))[:, :, None]
+    N = n1 * n2 * n3
+    cube = jnp.asarray(np.fft.fftn(psi_r)
+                       / (N / math.sqrt(b.model.unit_cell_volume)))[None]
+    pg = jax.vmap(fftops.gather_from_cube)(cube, b.data.Gidx, b.data.mask)
+    psi = pg[:, None, :]
+    return psi / jnp.linalg.norm(psi)
+
+
 @pytest.mark.slow
 def test_anyon_ground_state():
-    """The reference example (examples/anyons.jl) at reduced Ecut: direct
-    minimization of the full anyon functional converges; the gauge field
-    raises E above the beta=0 oscillator value 2; and the scale-invariant
-    ratio e(1,1)/(2 pi) ~ 0.5787 is pinned as a regression anchor (the
+    """The reference's own golden window (test/anyons.jl:49-55): the anyon
+    gas ground state at beta=5 gives e(1,1)/(2 pi) in [1.1, 1.3] (paper
+    value 1.18, arXiv:1901.10739).  Seeded in the winding sector; the
     machinery itself is validated at machine precision against the
-    hand-derived operator in test_ad_gradient_matches_hand_operator)."""
+    hand-derived operator in test_ad_gradient_matches_hand_operator."""
     b = _basis(Ecut=20.0, beta=5.0)
-    res = dftk.direct_minimization(b, tol=1e-9, maxiter=2000)
+    res = dftk.direct_minimization(b, tol=1e-9, maxiter=4000,
+                                   psi=_vortex_guess(b, -1))
     E = res.total_energy
     assert res.converged
+    assert "Anyonic" in res.energies
     assert E > 2.0                       # gauge field costs energy
-    assert abs(E - 3.20739) < 2e-3       # measured at Ecut 20, a = 14
+    assert abs(E - 4.64955) < 5e-3       # measured at Ecut 20, a = 14
     s = 2
     e11 = (math.pi / 2 * (2 * (s + 1) / s) ** ((s + 2) / s)
            * (s / (s + 2)) ** (2 * (s + 1) / s) * E ** ((s + 2) / s) / 5.0)
-    assert abs(e11 / (2 * math.pi) - 0.5787) < 1e-3
+    assert 1.1 <= e11 / (2 * math.pi) <= 1.3   # reference test window
