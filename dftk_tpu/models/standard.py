@@ -11,25 +11,25 @@ from ..ops.terms import (AtomicLocal, AtomicNonlocal, Entropy, Ewald, Hartree,
 from .model import Model
 
 
-def _base_terms(temperature):
-    terms = [Kinetic(), AtomicLocal(), AtomicNonlocal(), Ewald(),
-             PspCorrection(), Hartree()]
+def _base_terms(temperature, kinetic_blowup=None):
+    terms = [Kinetic(blowup=kinetic_blowup), AtomicLocal(), AtomicNonlocal(),
+             Ewald(), PspCorrection(), Hartree()]
     if temperature and temperature > 0:
         terms.append(Entropy())
     return terms
 
 
 def model_atomic(lattice, atoms, positions, temperature=0.0, extra_terms=(),
-                 **kwargs):
-    terms = _base_terms(temperature) + list(extra_terms)
+                 kinetic_blowup=None, **kwargs):
+    terms = _base_terms(temperature, kinetic_blowup) + list(extra_terms)
     return Model(lattice=lattice, atoms=list(atoms), positions=list(positions),
                  temperature=temperature, term_types=terms, **kwargs)
 
 
 def model_DFT(lattice, atoms, positions, functionals="LDA", temperature=0.0,
-              extra_terms=(), **kwargs):
-    terms = _base_terms(temperature) + [Xc(_as_names(functionals))] \
-        + list(extra_terms)
+              extra_terms=(), kinetic_blowup=None, **kwargs):
+    terms = _base_terms(temperature, kinetic_blowup) \
+        + [Xc(_as_names(functionals))] + list(extra_terms)
     return Model(lattice=lattice, atoms=list(atoms), positions=list(positions),
                  temperature=temperature, term_types=terms, **kwargs)
 

@@ -523,7 +523,8 @@ def prepare_split_data(basis, dtype=jnp.float32, pruned=True):
         hartree_coeffs=jnp.asarray(terms.hartree_np, dtype=dtype),
         P_split=jnp.asarray(to_split(P), dtype=dtype),
         D=jnp.asarray(D, dtype=dtype),
-        kin=jnp.asarray(basis.kin_np, dtype=dtype),
+        kin=jnp.asarray(basis.kin_np if terms.kin_np is None
+                        else terms.kin_np, dtype=dtype),
         Gidx=jnp.asarray(basis.Gidx_np),
         mask=jnp.asarray(basis.mask_np, dtype=dtype),
         kspin=jnp.asarray(basis.kspin),

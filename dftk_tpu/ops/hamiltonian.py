@@ -46,8 +46,12 @@ class Ham(NamedTuple):
 def build_ham(basis_data, terms_data: TermsData, V_local, kin_override=None,
               Vtau=None, Apot=None, exx_kernel=None, exx_psi=None,
               exx_occ=None):
-    kin = terms_data.kinetic_scale * basis_data.kin \
-        if kin_override is None else kin_override
+    if kin_override is not None:
+        kin = kin_override
+    elif getattr(terms_data, "kin", None) is not None:
+        kin = terms_data.kin          # blow-up kinetic (BlowupCHV/Abinit)
+    else:
+        kin = terms_data.kinetic_scale * basis_data.kin
     need_gpk = Vtau is not None or Apot is not None
     return Ham(Gidx=basis_data.Gidx, mask=basis_data.mask, kin=kin,
                kspin=basis_data.kspin,

@@ -200,6 +200,7 @@ class TermsData(NamedTuple):
     D: Any                # [nproj, nproj] coupling coefficients
     Gsq_cart: Any         # [n1,n2,n3] |G|^2 Cartesian (for Kerker & kernels)
     kinetic_scale: Any    # scalar
+    kin: Any = None       # [nk, nG] blow-up kinetic override (or None)
 
 
 @dataclasses.dataclass
@@ -253,7 +254,8 @@ class Terms:
             hartree_coeffs=jnp.asarray(self.hartree_np),
             P=jnp.asarray(P), D=jnp.asarray(D),
             Gsq_cart=jnp.asarray(self.Gsq_np),
-            kinetic_scale=jnp.asarray(self.kinetic_scale))
+            kinetic_scale=jnp.asarray(self.kinetic_scale),
+            kin=(None if self.kin_np is None else jnp.asarray(self.kin_np)))
 
 
 def instantiate_terms(basis) -> Terms:
@@ -289,11 +291,16 @@ def instantiate_terms(basis) -> Terms:
     for term in types:
         if isinstance(term, Kinetic):
             kinetic_scale = term.scaling_factor
-            if term.blowup is not None and not isinstance(term.blowup,
-                                                          BlowupIdentity):
+            has_blowup = term.blowup is not None and not isinstance(
+                term.blowup, BlowupIdentity)
+            # materialize the explicit [nk, nG] kinetic whenever it differs
+            # from the bare 0.5|k+G|^2 -- the split engine reads THIS (it has
+            # no separate scale factor), the complex engine prefers it too
+            if has_blowup or term.scaling_factor != 1.0:
                 pk = np.linalg.norm(basis.Gpk_cart_np, axis=-1)
+                blow = term.blowup(pk, basis.Ecut) if has_blowup else 1.0
                 kin_np = (term.scaling_factor * 0.5 * pk ** 2
-                          * term.blowup(pk, basis.Ecut)) * basis.mask_np
+                          * blow) * basis.mask_np
         elif isinstance(term, Magnetic):
             r_cart = np.einsum("ab,xyzb->xyza", model.lattice, basis.r_cube)
             Apot_np = np.asarray(term.Apot(r_cart), dtype=np.float64)

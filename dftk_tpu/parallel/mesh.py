@@ -125,7 +125,8 @@ def shard_basis(basis, mesh: Mesh):
         vloc_static=put_r(td.vloc_static),
         hartree_coeffs=put_r(td.hartree_coeffs),
         P=put_k(td.P), D=put_r(td.D), Gsq_cart=put_r(td.Gsq_cart),
-        kinetic_scale=put_r(td.kinetic_scale))
+        kinetic_scale=put_r(td.kinetic_scale),
+        kin=(None if td.kin is None else put_k(td.kin)))
     basis.mesh = mesh
     return basis
 

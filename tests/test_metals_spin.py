@@ -179,3 +179,43 @@ def test_iron_pbe_golden():
         worst = max(worst, dev[i, j])
     assert len(used) == 12
     assert worst < 5e-6, worst
+
+
+def test_spin_broken_silicon_relaxes_to_paired():
+    """A strongly spin-broken initial density on non-magnetic silicon must
+    relax to the spin-paired ground state (reference
+    test/random_spindensity.jl): total energies agree and the final
+    magnetization vanishes."""
+    from testcases import silicon
+    import dftk_tpu as dftk
+    from dftk_tpu.ops.density import guess_density
+
+    Si = dftk.ElementPsp.from_symbol("Si", psp=silicon["psp"])
+    kgrid = dftk.MonkhorstPack((2, 2, 2), kshift=(0.5, 0.5, 0.5))
+
+    def run(spin_polarization):
+        m = dftk.model_DFT(silicon["lattice"], [Si, Si],
+                           silicon["positions"], functionals="PBE",
+                           spin_polarization=spin_polarization,
+                           temperature=0.01)
+        b = dftk.PlaneWaveBasis(m, Ecut=7.0, kgrid=kgrid)
+        rho = np.asarray(guess_density(b))
+        rho_tot = rho.sum(axis=0)
+        if spin_polarization == "collinear":
+            rng = np.random.default_rng(0)
+            spin = (0.9 + 0.1 * rng.random(b.fft_size)) * rho_tot
+            rho = np.stack([(rho_tot + spin) / 2, (rho_tot - spin) / 2])
+        r = dftk.self_consistent_field(b, rho=jnp.asarray(rho), tol=5e-7,
+                                       is_converged="energy", n_bands=10,
+                                       maxiter=100)
+        return r, b
+
+    r_none, _ = run("none")
+    r_coll, b_coll = run("collinear")
+    assert abs(r_none.total_energy - r_coll.total_energy) < 1e-5
+    magn = float(jnp.sum(r_coll.rho[0] - r_coll.rho[1]) * b_coll.dvol)
+    assert abs(magn) < 1e-4
+    # spin-up and spin-down eigenvalues coincide in the restored state
+    ev = np.asarray(r_coll.eigenvalues)
+    nk = ev.shape[0] // 2
+    assert np.abs(ev[:nk, :8] - ev[nk:, :8]).max() < 1e-4
