@@ -153,16 +153,11 @@ def compute_polarizability(scfres, direction=2, basis=None, **kwargs):
                  * basis.dvol)
 
 
-def solve_omega_plus_k(basis, psi, occupation, rhs, rho=None,
-                       cg_tol=1e-9, cg_maxiter=200):
-    """Solve (Omega + K) dpsi = -P_c rhs for the orbital response
-    (reference src/response/hessian.jl solve_OmegaplusK / _split).
-
-    psi [nk, n_occ, nG] occupied orbitals of a converged insulating state;
-    rhs [nk, n_occ, nG] an arbitrary Hamiltonian perturbation applied to
-    psi (dH psi).  Returns dpsi orthogonal to the occupied space.  The
-    same operator the Newton SCF and the elastic response use.
-    """
+def make_omega_plus_k(basis, psi, occupation, rho=None, include_K=True):
+    """(OmegaK, Pc, M): the SCF Jacobian on the tangent space at psi, the
+    occupied-space projector and the TPA preconditioner (reference
+    src/response/hessian.jl apply_Omega/apply_K).  include_K=False gives
+    the bare Omega (H - eps_n on the unoccupied space)."""
     model = basis.model
     terms = basis.terms
     bd = basis.data
@@ -206,7 +201,10 @@ def solve_omega_plus_k(basis, psi, occupation, rhs, rho=None,
     def OmegaK(dpsi):
         d = Pc(dpsi)
         h = hamops.apply_H(ham0, d, fft_size, vol)
-        return Pc(h - eps_n[:, :, None].astype(d.dtype) * d) + Kpart(d)
+        out = Pc(h - eps_n[:, :, None].astype(d.dtype) * d)
+        if include_K:
+            out = out + Kpart(d)
+        return out
 
     kin = terms.data.kinetic_scale * bd.kin
     mean_kin = jnp.maximum(
@@ -215,6 +213,82 @@ def solve_omega_plus_k(basis, psi, occupation, rhs, rho=None,
     def M(x):
         return x * (mean_kin[:, :, None]
                     / (mean_kin[:, :, None] + kin[:, None, :] + 1e-20))
+
+    return OmegaK, Pc, M
+
+
+def eigen_omega_plus_k(basis, psi, occupation, n_eigs=3, tol=1e-7,
+                       maxiter=200, include_K=True, rho=None, seed=0):
+    """Smallest eigenvalues of the SCF Jacobian Omega(+K) on the tangent
+    space (reference test/compute_jacobian_eigen.jl): block LOBPCG with the
+    TPA preconditioner.  At a stable insulating ground state the spectrum
+    is positive; for the linear (no Hartree/Xc jvp contribution = bare
+    Omega) case the smallest eigenvalue equals the HOMO-LUMO gap.
+
+    Returns (eigenvalues [n_eigs], eigenvectors [n_eigs, nk, n_occ, nG]).
+    """
+    import numpy as _np
+    A, Pc, M = make_omega_plus_k(basis, psi, occupation, rho=rho,
+                                 include_K=include_K)
+    A_j = jax.jit(A)
+    m = n_eigs
+    rng = _np.random.default_rng(seed)
+    shp = jnp.asarray(psi).shape
+
+    def rand_tangent():
+        v = rng.standard_normal(shp) + 1j * rng.standard_normal(shp)
+        return Pc(jnp.asarray(v) * basis.data.mask[:, None, :])
+
+    def dot(a, b):
+        return complex(jnp.vdot(a, b))
+
+    def rr(S):
+        """Rayleigh-Ritz on span(S); returns (theta, vectors, AS)."""
+        AS = [A_j(s) for s in S]
+        n = len(S)
+        G = _np.array([[dot(S[i], S[j]) for j in range(n)] for i in range(n)])
+        H = _np.array([[dot(S[i], AS[j]) for j in range(n)] for i in range(n)])
+        # whiten (drop near-null directions), solve the projected problem
+        w, U = _np.linalg.eigh((G + G.conj().T) / 2)
+        keep = w > 1e-10 * w.max()
+        W = U[:, keep] / _np.sqrt(w[keep])
+        Hw = W.conj().T @ ((H + H.conj().T) / 2) @ W
+        th, Y = _np.linalg.eigh(Hw)
+        C = W @ Y
+        vecs = [sum(C[i, j] * S[i] for i in range(n)) for j in range(C.shape[1])]
+        return th, vecs
+
+    X = [rand_tangent() for _ in range(m)]
+    th, X = (lambda t, v: (t[:m], v[:m]))(*rr(X))
+    P = []
+    for _ in range(maxiter):
+        AX = [A_j(x) for x in X]
+        R = [ax - t * x for ax, t, x in zip(AX, th, X)]
+        resid = max(float(jnp.linalg.norm(r)) for r in R)
+        if resid < tol:
+            break
+        W_blk = [Pc(M(r)) for r in R]
+        th_all, vecs = rr(X + W_blk + P)
+        X_new = vecs[:m]
+        th = th_all[:m]
+        P = vecs[m:2 * m]
+        X = X_new
+    return _np.asarray(th[:m]), X
+
+
+def solve_omega_plus_k(basis, psi, occupation, rhs, rho=None,
+                       cg_tol=1e-9, cg_maxiter=200):
+    """Solve (Omega + K) dpsi = -P_c rhs for the orbital response
+    (reference src/response/hessian.jl solve_OmegaplusK / _split).
+
+    psi [nk, n_occ, nG] occupied orbitals of a converged insulating state;
+    rhs [nk, n_occ, nG] an arbitrary Hamiltonian perturbation applied to
+    psi (dH psi).  Returns dpsi orthogonal to the occupied space.  The
+    same operator the Newton SCF and the elastic response use.
+    """
+    psi = jnp.asarray(psi)
+    OmegaK, Pc, M = make_omega_plus_k(basis, psi, occupation, rho=rho,
+                                      include_K=True)
 
     @jax.jit
     def cg(b):
