@@ -686,9 +686,47 @@ def total_potential_split(terms, sd: SplitTermsData, rho, volume, tau=None):
                                           terms.xc_scaling))(rho_xc)
         energies["Xc"] = exc
         V = V + Vxc / dvol
+        # potential-only functionals (TB09/mBJ): direct multiplicative V
+        # through the split (complex-free) spectral path
+        for f, fscale in terms.xc:
+            if f.potential is not None:
+                assert tau is not None, "potential-only mGGA needs tau"
+                V = V + (terms.xc_scaling * fscale) * tb09_potential_split(
+                    rho_xc, sd.G_cart, tau + tau_shift)
     if tau is not None:
         return V, Vtau, energies
     return V, energies
+
+
+def tb09_potential_split(rho, G_cart, tau):
+    """mBJ potential on the split engine: gradients/laplacian via the
+    realified matmul DFT (no complex dtype on device); the Becke-Roussel
+    solve is branch-aware bisection, pure real arithmetic
+    (ops/xc/tb09.py docstring)."""
+    from .xc.tb09 import ALPHA, BETA, _RHO_FLOOR, tb09_channel
+    nspin = rho.shape[0]
+    rho_tot = jnp.sum(rho, axis=0)
+    rho_G = dft3_real_input(rho, sign=-1)               # [nspin, grid, 2]
+    grads = []
+    for a in range(3):
+        gr = jnp.stack([-G_cart[..., a] * rho_G[..., 1],
+                        G_cart[..., a] * rho_G[..., 0]], axis=-1)
+        grads.append(idft3_real_output(gr))
+    grads = jnp.stack(grads, axis=-1)                   # [nspin, grid, 3]
+    Gsq = jnp.sum(G_cart * G_cart, axis=-1)
+    lapl = idft3_real_output(-Gsq[..., None] * rho_G)
+
+    gtot = grads[0] if nspin == 1 else jnp.sum(grads, axis=0)
+    gnorm = jnp.sqrt(jnp.sum(gtot ** 2, axis=-1))
+    c = ALPHA + BETA * jnp.sqrt(
+        jnp.mean(gnorm / jnp.maximum(rho_tot, _RHO_FLOOR)))
+
+    half = 1.0 if nspin == 2 else 0.5
+    Vs = [tb09_channel(half * rho[sp],
+                       half * half * jnp.sum(grads[sp] ** 2, axis=-1),
+                       half * lapl[sp], half * tau[sp], c)
+          for sp in range(nspin)]
+    return jnp.stack(Vs, axis=0)
 
 
 def xc_energy_split(functionals, rho, G_cart, volume, scaling=1.0, tau=None):
@@ -718,10 +756,8 @@ def xc_energy_split(functionals, rho, G_cart, volume, scaling=1.0, tau=None):
 
     E = 0.0
     for f, fscale in functionals:
-        if f.energy is None:
-            raise NotImplementedError(
-                f"potential-only functional {f.name} (TB09/mBJ) is not "
-                "available in the split engine yet; use the complex driver")
+        if f.energy is None:      # potential-only (TB09): no energy; the
+            continue              # direct V is added in total_potential_split
         if f.family == "mgga":
             E = E + fscale * jnp.sum(f.energy(rho, sigma, tau))
         else:

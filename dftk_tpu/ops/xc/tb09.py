@@ -128,13 +128,18 @@ def tb09_potential(rho, G_cube_cart, tau, c=None):
     half = 1.0 if nspin == 2 else 0.5        # channel = rho/2 when unpolarized
     Vs = []
     for s in range(nspin):
-        rho_s = half * rho[s]
-        grad2_s = half * half * jnp.sum(grads[s] ** 2, axis=-1)
-        lapl_s = half * lapl[s]
-        tau_s = half * tau[s]
-        v_br = _br_potential_channel(rho_s, grad2_s, lapl_s, tau_s)
-        bj = jnp.sqrt(jnp.maximum(2.0 * tau_s / jnp.maximum(rho_s, _RHO_FLOOR),
-                                  0.0))
-        Vs.append(c * v_br
-                  + (3.0 * c - 2.0) / math.pi * math.sqrt(5.0 / 12.0) * bj)
+        Vs.append(tb09_channel(half * rho[s],
+                               half * half * jnp.sum(grads[s] ** 2, axis=-1),
+                               half * lapl[s], half * tau[s], c))
     return jnp.stack(Vs, axis=0)
+
+
+def tb09_channel(rho_s, grad2_s, lapl_s, tau_s, c):
+    """mBJ potential for one spin channel from channel ingredients; shared
+    by the complex engine (spectral FFT path above) and the split (chip)
+    engine (matmul-DFT path, ops/engine_split.py:tb09_potential_split)."""
+    v_br = _br_potential_channel(rho_s, grad2_s, lapl_s, tau_s)
+    bj = jnp.sqrt(jnp.maximum(2.0 * tau_s / jnp.maximum(rho_s, _RHO_FLOOR),
+                              0.0))
+    return (c * v_br
+            + (3.0 * c - 2.0) / math.pi * math.sqrt(5.0 / 12.0) * bj)

@@ -86,3 +86,22 @@ def test_silicon_tb09_gap_opens():
     # open it substantially toward the published ~1.15 eV
     assert gap_tb09 > gap_lda + 0.25
     assert 0.8 < gap_tb09 < 1.7
+
+
+def test_split_engine_tb09_matches_complex_f64():
+    """The chip (split) engine runs TB09 too: same SCF as the complex
+    driver at f64 -- eigenvalues (hence gaps) to 1e-7."""
+    from dftk_tpu.ops.engine_split import self_consistent_field_split
+    Si = dftk.ElementPsp.from_symbol("Si", psp=silicon["psp"])
+    m = dftk.model_DFT(silicon["lattice"], [Si, Si], silicon["positions"],
+                       functionals="TB09")
+    b = dftk.PlaneWaveBasis(m, Ecut=8.0, kgrid=(2, 2, 2), fft_size=(18,) * 3)
+    r_c = dftk.self_consistent_field(b, tol=1e-9, maxiter=60, n_bands=6,
+                                     is_converged="density")
+    r_s = self_consistent_field_split(b, tol=1e-9, maxiter=60,
+                                      dtype=jnp.float64, n_bands=6,
+                                      eigensolver="lobpcg",
+                                      is_converged="density")
+    ev_c = np.sort(np.asarray(r_c.eigenvalues)[:, :6], axis=1)
+    ev_s = np.sort(np.asarray(r_s["eigenvalues"])[:, :6], axis=1)
+    assert np.abs(ev_c - ev_s).max() < 5e-7   # both SCFs tol=1e-9 (measured 1.0e-7)
