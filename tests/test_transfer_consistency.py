@@ -57,3 +57,22 @@ def test_energy_from_orbital_eigenvalues():
     E = (sum_eig - E_H + float(exc) - int_rho_vxc
          + b.terms.E_ewald + b.terms.E_psp_correction)
     assert abs(E - res.total_energy) < 1e-8
+
+
+def test_transfer_density_roundtrip():
+    """Spectral density transfer to a finer grid and back is the identity;
+    the integral is preserved either way (reference interpolation.jl)."""
+    from dftk_tpu.ops.density import guess_density
+    from dftk_tpu.transfer import transfer_density
+    Si = dftk.ElementPsp.from_symbol("Si", psp=silicon["psp"])
+    m = dftk.model_DFT(silicon["lattice"], [Si, Si], silicon["positions"],
+                       functionals="LDA")
+    b1 = dftk.PlaneWaveBasis(m, Ecut=5.0, kgrid=(1, 1, 1),
+                             fft_size=(16,) * 3)
+    b2 = dftk.PlaneWaveBasis(m, Ecut=5.0, kgrid=(1, 1, 1),
+                             fft_size=(24,) * 3)
+    rho = np.asarray(guess_density(b1))
+    up = np.asarray(transfer_density(jnp.asarray(rho), b1, b2))
+    back = np.asarray(transfer_density(jnp.asarray(up), b2, b1))
+    assert np.abs(back - rho).max() < 1e-12
+    assert abs(up.sum() * b2.dvol - rho.sum() * b1.dvol) < 1e-12
