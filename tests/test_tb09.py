@@ -105,3 +105,29 @@ def test_split_engine_tb09_matches_complex_f64():
     ev_c = np.sort(np.asarray(r_c.eigenvalues)[:, :6], axis=1)
     ev_s = np.sort(np.asarray(r_s["eigenvalues"])[:, :6], axis=1)
     assert np.abs(ev_c - ev_s).max() < 5e-7   # both SCFs tol=1e-9 (measured 1.0e-7)
+
+
+def test_tb09_collinear_paired_matches_unpolarized():
+    """Collinear TB09 with a symmetric spin state equals the unpolarized
+    run (validates the per-channel exchange spin-scaling)."""
+    Si = dftk.ElementPsp.from_symbol("Si", psp=silicon["psp"])
+
+    def run(spin):
+        m = dftk.model_DFT(silicon["lattice"], [Si, Si],
+                           silicon["positions"], functionals="TB09",
+                           spin_polarization=spin,
+                           temperature=1e-3 if spin == "collinear" else 0.0)
+        b = dftk.PlaneWaveBasis(m, Ecut=8.0, kgrid=(2, 2, 2),
+                                fft_size=(18,) * 3)
+        return dftk.self_consistent_field(b, tol=1e-9, maxiter=60,
+                                          n_bands=6, is_converged="density")
+
+    r_n = run("none")
+    r_c = run("collinear")
+    ev_n = np.sort(np.asarray(r_n.eigenvalues)[:, :5], axis=1)
+    ev_c = np.asarray(r_c.eigenvalues)
+    nk = ev_c.shape[0] // 2
+    ev_up = np.sort(ev_c[:nk, :5], axis=1)
+    ev_dn = np.sort(ev_c[nk:, :5], axis=1)
+    assert np.abs(ev_up - ev_dn).max() < 1e-7
+    assert np.abs(ev_up - ev_n).max() < 1e-5    # T=0 vs tiny smearing
