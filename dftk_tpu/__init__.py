@@ -23,7 +23,7 @@ from .bzmesh import ExplicitKpoints, MonkhorstPack, kgrid_from_maximal_spacing
 from .ops.terms import (Anyonic, AtomicLocal, AtomicNonlocal, BlowupAbinit,
                         BlowupCHV, BlowupIdentity, Entropy, Ewald,
                         ExactExchange, ExternalFromFourier, ExternalFromReal,
-                        Hartree, Kinetic, LocalNonlinearity,
+                        Hartree, Kinetic, LocalNonlinearity, Magnetic,
                         PairwisePotential, PspCorrection, Xc)
 from .ops.terms import Hubbard
 from .ops.hubbard import HubbardManifold

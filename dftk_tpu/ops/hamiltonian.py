@@ -113,28 +113,35 @@ def apply_H(ham: Ham, psi, fft_size, volume, band_chunk: Optional[int] = None):
 
     # ---- magnetic: A.(-i grad) = sum_a A_a(r) (k+G)_a (symmetrised) ---------
     if ham.Apot is not None:
-        for a in range(3):
-            pa_psi = ham.Gpk[:, None, :, a] * psi
-            cube = jax.vmap(lambda c, i, m: fftops.scatter_to_cube(
-                c, i, m, fft_size))(pa_psi, ham.Gidx, ham.mask)
-            Apa = ham.Apot[..., a][None, None] * jnp.fft.ifftn(
-                cube, axes=(-3, -2, -1))
-            g1 = jax.vmap(fftops.gather_from_cube)(
-                jnp.fft.fftn(Apa, axes=(-3, -2, -1)), ham.Gidx, ham.mask)
-            # symmetrised 1/2 {A, p}: 1/2 (A p + p A)
-            cube2 = jax.vmap(lambda c, i, m: fftops.scatter_to_cube(
-                c, i, m, fft_size))(psi, ham.Gidx, ham.mask)
-            Apsi = ham.Apot[..., a][None, None] * jnp.fft.ifftn(
-                cube2, axes=(-3, -2, -1))
-            g2 = ham.Gpk[:, None, :, a] * jax.vmap(fftops.gather_from_cube)(
-                jnp.fft.fftn(Apsi, axes=(-3, -2, -1)), ham.Gidx, ham.mask)
-            out = out + 0.5 * (g1 + g2)
+        out = out + _apply_magnetic(ham, psi, fft_size)
 
     # ---- exact exchange (Gamma-only): Hphi -= sum_n f_n psi_n K[psi_n* phi] --
     if ham.exx_kernel is not None:
         out = out + _apply_exchange(ham, psi, fft_size, volume)
 
     return out * ham.mask[:, None, :]
+
+
+def _apply_magnetic(ham: Ham, psi, fft_size):
+    """Symmetrised 1/2 {A, p} (reference terms/magnetic.jl A.(-i grad),
+    exact when div A = 0)."""
+    out = 0.0
+    for a in range(3):
+        pa_psi = ham.Gpk[:, None, :, a] * psi
+        cube = jax.vmap(lambda c, i, m: fftops.scatter_to_cube(
+            c, i, m, fft_size))(pa_psi, ham.Gidx, ham.mask)
+        Apa = ham.Apot[..., a][None, None] * jnp.fft.ifftn(
+            cube, axes=(-3, -2, -1))
+        g1 = jax.vmap(fftops.gather_from_cube)(
+            jnp.fft.fftn(Apa, axes=(-3, -2, -1)), ham.Gidx, ham.mask)
+        cube2 = jax.vmap(lambda c, i, m: fftops.scatter_to_cube(
+            c, i, m, fft_size))(psi, ham.Gidx, ham.mask)
+        Apsi = ham.Apot[..., a][None, None] * jnp.fft.ifftn(
+            cube2, axes=(-3, -2, -1))
+        g2 = ham.Gpk[:, None, :, a] * jax.vmap(fftops.gather_from_cube)(
+            jnp.fft.fftn(Apsi, axes=(-3, -2, -1)), ham.Gidx, ham.mask)
+        out = out + 0.5 * (g1 + g2)
+    return out
 
 
 def _apply_exchange(ham: Ham, phi, fft_size, volume):
@@ -294,8 +301,9 @@ def total_potential(terms: Terms, rho, G_cube_cart, volume, tau=None):
     return V, energies
 
 
-def psi_energies(ham: Ham, terms: Terms, psi, occupation, kweights):
-    """Kinetic + nonlocal energies from orbitals (occupation [nk, nb])."""
+def psi_energies(ham: Ham, terms: Terms, psi, occupation, kweights,
+                 fft_size=None):
+    """Kinetic + nonlocal (+ magnetic) energies from orbitals."""
     energies = {}
     wocc = kweights[:, None] * occupation
     abs2 = (psi.conj() * psi).real
@@ -305,4 +313,10 @@ def psi_energies(ham: Ham, terms: Terms, psi, occupation, kweights):
         band_e = jnp.einsum("knp,pq,knq->kn", Pd.conj(),
                             ham.D.astype(Pd.dtype), Pd).real
         energies["AtomicNonlocal"] = jnp.sum(wocc * band_e)
+    if ham.Apot is not None:
+        if fft_size is None:
+            fft_size = tuple(ham.Apot.shape[:3])
+        band_m = jnp.einsum("kng,kng->kn", psi.conj(),
+                            _apply_magnetic(ham, psi, fft_size)).real
+        energies["Magnetic"] = jnp.sum(wocc * band_m)
     return energies

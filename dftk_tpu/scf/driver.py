@@ -285,11 +285,12 @@ def self_consistent_field(
         if needs_tau:
             V_out, Vtau_out, energies = hamops.total_potential(
                 terms, rho_out, Gcart, volume, tau=tau_out)
-            ham_out = hamops.build_ham(bd, td, V_out, Vtau=Vtau_out)
+            ham_out = hamops.build_ham(bd, td, V_out, Vtau=Vtau_out,
+                                       Apot=Apot)
         else:
             V_out, energies = hamops.total_potential(terms, rho_out, Gcart,
                                                      volume)
-            ham_out = hamops.build_ham(bd, td, V_out)
+            ham_out = hamops.build_ham(bd, td, V_out, Apot=Apot)
         energies.update(hamops.psi_energies(ham_out, terms, res.X, occ,
                                             bd.kweights))
         if has_exx:
