@@ -46,11 +46,11 @@ def test_fock_darwin_spectrum():
     res = dftk.self_consistent_field(b, tol=1e-10, n_bands=6, maxiter=10)
     Om = np.sqrt(W0 ** 2 + B ** 2 / 4)
     exact = np.sort([Om,                      # (0, 0)
-                     2 * Om - B / 2,          # (0, +1)
-                     2 * Om + B / 2,          # (0, -1)
-                     3 * Om - B,              # (0, +2)
+                     2 * Om - B / 2,          # (0, -1)
+                     2 * Om + B / 2,          # (0, +1)
+                     3 * Om - B,              # (0, -2)
                      3 * Om,                  # (1, 0)
-                     3 * Om + B])             # (0, -2)
+                     3 * Om + B])             # (0, +2)
     ev = np.sort(np.asarray(res.eigenvalues)[0, :6])
     assert np.abs(ev - exact).max() < 2e-4
 
@@ -62,3 +62,16 @@ def test_fock_darwin_spectrum():
     parts = (res.energies["Kinetic"] + res.energies["AtomicLocal"]
              + res.energies["Magnetic"])
     assert abs(parts - res.total_energy) < 1e-10
+
+    # compute_current: H contains +B/2 L_z (A.p with the symmetric gauge),
+    # so the occupied excited level is m = -1; the occupied (0,0)+(0,-1)
+    # state carries total angular momentum L_z = -1 exactly:
+    # L_z = int (x J_y - y J_x) dvol with the paramagnetic current
+    from dftk_tpu.postprocess.current import compute_current
+    J = compute_current(res)
+    n1, n2, _ = b.fft_size
+    xs = (np.arange(n1) / n1) * A_CELL - A_CELL / 2
+    X, Y = np.meshgrid(xs, xs, indexing="ij")
+    dvol = b.dvol
+    Lz = float(np.sum((X[:, :, None] * J[1] - Y[:, :, None] * J[0])) * dvol)
+    assert abs(Lz - (-1.0)) < 1e-3
