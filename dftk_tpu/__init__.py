@@ -23,6 +23,7 @@ from .bzmesh import ExplicitKpoints, MonkhorstPack, kgrid_from_maximal_spacing
 from .ops.terms import (Anyonic, AtomicLocal, AtomicNonlocal, BlowupAbinit,
                         BlowupCHV, BlowupIdentity, Entropy, Ewald,
                         ExactExchange, ExternalFromFourier, ExternalFromReal,
+                        ExternalFromValues,
                         Hartree, Kinetic, LocalNonlinearity, Magnetic,
                         PairwisePotential, PspCorrection, Xc)
 from .ops.terms import Hubbard
@@ -50,6 +51,8 @@ from .response.hessian import (compute_polarizability, solve_dyson,
                                solve_omega_plus_k)
 from .response.chi0 import apply_chi0, make_chi0_context
 from .postprocess.elastic_response import elastic_tensor_response
+from .postprocess.refine import (refine_scfres, refine_forces,
+                                 refine_forces_cart)
 from .scf.energy_eval import (evaluate_total_energy, refine_split_energy,
                               refine_split_state)
 from .io.scfres import load_scfres, save_scfres, todict

@@ -137,6 +137,14 @@ class ExternalFromFourier:
 
 
 @dataclasses.dataclass(frozen=True)
+class ExternalFromValues:
+    """External potential given as precomputed real-space grid values
+    (shape == basis.fft_size); the array-valued sibling of ExternalFromReal
+    (reference src/terms/local.jl:26-39)."""
+    potential_values: Any = None
+
+
+@dataclasses.dataclass(frozen=True)
 class LocalNonlinearity:
     """Energy term  int f(rho)  (e.g. Gross-Pitaevskii C rho^alpha)."""
     f: Callable = None
@@ -335,6 +343,13 @@ def instantiate_terms(basis) -> Terms:
         elif isinstance(term, ExternalFromReal):
             r_cart = np.einsum("ab,xyzb->xyza", model.lattice, basis.r_cube)
             vloc += np.asarray(term.potential(r_cart), dtype=np.float64)
+        elif isinstance(term, ExternalFromValues):
+            vals = np.asarray(term.potential_values, dtype=np.float64)
+            if vals.shape != tuple(basis.fft_size):
+                raise ValueError(
+                    f"ExternalFromValues shape {vals.shape} != fft_size "
+                    f"{tuple(basis.fft_size)}")
+            vloc += vals
         elif isinstance(term, ExternalFromFourier):
             pot_G = np.asarray(term.potential(basis.G_cube_cart),
                                dtype=np.complex128) / math.sqrt(model.unit_cell_volume)

@@ -35,3 +35,34 @@ def test_chefsi_matches_lobpcg():
     assert r_che["converged"]
     assert abs(r_che["energies"]["total"]
                - r_lob["energies"]["total"]) < 1e-6
+
+
+def test_refine_forces_reduces_force_error():
+    """refine_forces (reference refine.jl:190-203): the first-order force
+    correction from the refinement moves the coarse-basis forces toward the
+    converged fine-basis forces (the error_estimates_forces.jl flow)."""
+    from dftk_tpu.postprocess.refine import refine_scfres, refine_forces
+    from testcases import make_silicon_model, silicon
+    Si = dftk.ElementPsp.from_symbol("Si", psp=silicon["psp"])
+    pos = [np.array([0.125, 0.125, 0.125]) + [0.02, 0.015, -0.01],
+           np.array([-0.125, -0.125, -0.125])]
+    model = dftk.model_DFT(silicon["lattice"], [Si, Si], pos,
+                           functionals=("lda_x", "lda_c_vwn"),
+                           symmetries=False)
+    b = dftk.PlaneWaveBasis(model, Ecut=6.0, kgrid=(2, 2, 2))
+    r = dftk.self_consistent_field(b, tol=1e-10, maxiter=60)
+    ref = refine_scfres(r, Ecut_fine=14.0)
+    fr = refine_forces(ref)
+
+    b_f = dftk.PlaneWaveBasis(model, Ecut=14.0, kgrid=(2, 2, 2))
+    r_f = dftk.self_consistent_field(b_f, tol=1e-10, maxiter=60)
+    F_exact = dftk.compute_forces(r_f)
+    F_coarse = dftk.compute_forces(r)
+
+    err_coarse = np.abs(F_coarse - F_exact).max()
+    err_plain = np.abs(fr["F"] - F_exact).max()
+    err_refined = np.abs(fr["F_refined"] - F_exact).max()
+    # dF is a genuine correction: refined beats both the coarse-basis and
+    # the transferred-but-uncorrected forces
+    assert err_refined < err_plain / 2
+    assert err_refined < err_coarse / 2
