@@ -28,8 +28,10 @@ from .ops.terms import (Anyonic, AtomicLocal, AtomicNonlocal, BlowupAbinit,
                         PairwisePotential, PspCorrection, Xc)
 from .ops.terms import Hubbard
 from .ops.hubbard import HubbardManifold
-from .ops.coulomb import (Coulomb, LongRangeCoulomb, ShortRangeCoulomb,
-                          SphericallyTruncatedCoulomb)
+from .ops.coulomb import (Coulomb, LongRangeCoulomb, ProbeCharge,
+                          ReplaceSingularity, ShortRangeCoulomb,
+                          SphericallyTruncatedCoulomb, VoxelAveraged,
+                          WignerSeitzTruncatedCoulomb)
 from .ops.density import (compute_density, guess_density, random_density,
                           total_density)
 from .models.psp_lincomb import PspLinComb, virtual_crystal_approximation

@@ -32,15 +32,22 @@ def _dft_factors(n, sign, dtype_name):
 
 
 def as_precision(precision):
-    """None or 'default'/'high'/'highest' -> lax.Precision (None passthrough).
+    """None or 'default'/'high'/'highest'/'tensor32' -> lax.Precision.
 
     'default' is the fast path: single-pass bf16 MXU matmuls with f32
-    accumulation; 'highest' is f32-equivalent (6-pass).  Used to run the
+    accumulation; 'highest' is f32-equivalent (6-pass); 'tensor32' is the
+    compensated-bf16 3-pass scheme (the round-3 verdict's request): both
+    operands split into bf16 (hi, lo) pairs, y = hi.hi + hi.lo + lo.hi
+    with f32 accumulation -> ~2^-16 relative accuracy at half HIGHEST's
+    MXU passes.  It stays a string marker (handled by cdft_axis and the
+    engine's compensated einsum helpers, not by lax).  Used to run the
     Chebyshev filter applies at reduced precision while keeping
     Rayleigh-Ritz / densities exact.
     """
     if precision is None or not isinstance(precision, str):
         return precision
+    if precision == "tensor32":
+        return "tensor32"
     return getattr(jax.lax.Precision, precision.upper())
 
 
@@ -124,6 +131,18 @@ def dot3_bf16(x, F_hi, F_lo, dims):
     return y
 
 
+def einsum3_bf16(pattern, a, b_hi, b_lo):
+    """Compensated einsum: f32 operand a (split on the fly) against a
+    PRE-SPLIT bf16 (hi, lo) factor pair; three 1-pass MXU einsums with f32
+    accumulation (the dropped lo.lo term is O(2^-16) relative)."""
+    ah, al = split_bf16(a)
+    kw = dict(precision=jax.lax.Precision.DEFAULT,
+              preferred_element_type=jnp.float32)
+    return (jnp.einsum(pattern, ah, b_hi, **kw)
+            + jnp.einsum(pattern, ah, b_lo, **kw)
+            + jnp.einsum(pattern, al, b_hi, **kw))
+
+
 def cdft_axis_bf16x3(x, F2_split, axis):
     """cdft_axis with the compensated-bf16 3-pass scheme.
 
@@ -142,11 +161,16 @@ def cdft_axis(x, F2, axis, precision=None):
     transformed axis lands LAST (before the re/im axis).  Chaining over the
     three spatial axes therefore cycles the layout; callers track the
     resulting (reversed) spatial order.
+
+    precision == "tensor32" runs the compensated-bf16 3-pass scheme (the
+    factor split is tiny and constant-folded by XLA).
     """
     nd = x.ndim
-    return jax.lax.dot_general(
-        x, F2, (((axis % nd, nd - 1), (0, 1)), ((), ())),
-        precision=precision)
+    dims = (((axis % nd, nd - 1), (0, 1)), ((), ()))
+    if isinstance(precision, str) and precision == "tensor32":
+        Fh, Fl = split_bf16(F2)
+        return dot3_bf16(x, Fh, Fl, dims)
+    return jax.lax.dot_general(x, F2, dims, precision=precision)
 
 
 def dft3_real_input(x, sign=-1):

@@ -369,19 +369,25 @@ def build_sandwich(pf: "PrunedFFT", V, precision=None):
 def apply_local_sandwich(x, pf: "PrunedFFT", M, kspin, precision=None):
     """Local-potential apply on COMPACT cubes via the sandwich middle.
 
-    x [nk, nb, m1, m2, m3, 2] -> same shape;  M from build_sandwich.
+    x [nk, nb, m1, m2, m3, 2] -> same shape;  M from build_sandwich (a
+    (hi, lo) bf16 pair for precision='tensor32').
     Largest intermediate is [.., m1, n3, n2] (half the full cube), and
     the FLOP count of the 6-transform chain roughly halves.
     """
-    from ..kernels.dft_matmul import as_precision, cdft_axis
+    from ..kernels.dft_matmul import (as_precision, cdft_axis, einsum3_bf16)
     prec = as_precision(precision)
+    t32 = prec == "tensor32"
     m1 = x.shape[2]
     t = cdft_axis(x, pf.Ff[2], 4, prec)        # [k,nb,m1,m2,n3,2]
     t = cdft_axis(t, pf.Ff[1], 3, prec)        # [k,nb,m1,n3,n2,2]
     t = jnp.transpose(t, (0, 1, 3, 4, 2, 5))   # [k,nb,n3,n2,m1,2]
     tm = t.reshape(t.shape[:4] + (2 * m1,))
-    Mk = M[kspin]                              # [k, n3, n2, 2m1, 2m1]
-    mid = jnp.einsum("kbzyi,kzyij->kbzyj", tm, Mk, precision=prec)
+    if t32:
+        Mh, Ml = M
+        mid = einsum3_bf16("kbzyi,kzyij->kbzyj", tm, Mh[kspin], Ml[kspin])
+    else:
+        Mk = M[kspin]                          # [k, n3, n2, 2m1, 2m1]
+        mid = jnp.einsum("kbzyi,kzyij->kbzyj", tm, Mk, precision=prec)
     mid = mid.reshape(t.shape)                 # [k,nb,n3,n2,m1,2]
     y = cdft_axis(mid, pf.Fb[1], 3, prec)      # [k,nb,n3,m1,m2,2]
     return cdft_axis(y, pf.Fb[2], 2, prec)     # [k,nb,m1,m2,m3,2]
@@ -411,6 +417,8 @@ def compact_filter_ops(ham: Ham, volume, precision=None):
     Requires a pruned-FFT basis and no mGGA Vtau (DivAgrad falls back to
     the sphere apply).
     """
+    from ..kernels.dft_matmul import as_precision, split_bf16
+    t32 = as_precision(precision) == "tensor32"
     pf = ham.fft_pruned
     assert pf is not None and ham.Vtau is None
     m_shape = tuple(F.shape[0] for F in pf.Ff)
@@ -430,7 +438,16 @@ def compact_filter_ops(ham: Ham, volume, precision=None):
             axis=1)
         P_c = jax.vmap(lambda pp, iv: pp[iv])(P_pad, pf.inv_idx) \
             * mask_c[:, :, None, None]
-    M = build_sandwich(pf, ham.V, precision=precision)
+        if t32:
+            # pre-split once: the heavy fixed operand streams as bf16
+            # hi/lo (same bytes as f32) instead of being re-split per apply
+            P_c = split_bf16(P_c)
+    # sandwich matrices always built at full f32 accuracy; the (cheap)
+    # per-apply contraction carries the precision mode
+    M = build_sandwich(pf, ham.V,
+                       precision="highest" if t32 else precision)
+    if t32:
+        M = split_bf16(M)
 
     def enter(U):
         xy = jnp.stack([U[..., :nG], U[..., nG:]], axis=-1)
@@ -468,9 +485,19 @@ def _assemble_H_out(ham: Ham, xy, kin_part, loc_part, precision=None):
 
 
 def _pdag_psi(P, xy, precision=None):
-    """P^dag psi: [nk,nG,np,2] x [nk,nb,nG,2] -> [nk,nb,np,2] (conj P)."""
-    from ..kernels.dft_matmul import as_precision
+    """P^dag psi: [nk,nG,np,2] x [nk,nb,nG,2] -> [nk,nb,np,2] (conj P).
+
+    precision='tensor32': P may be a pre-split bf16 (hi, lo) pair (same
+    bytes as f32 P); psi splits on the fly, 3 passes per product."""
+    from ..kernels.dft_matmul import as_precision, einsum3_bf16, split_bf16
     prec = as_precision(precision)
+    if prec == "tensor32" or isinstance(P, tuple):
+        Ph, Pl = P if isinstance(P, tuple) else split_bf16(P)
+        e3 = lambda a, b: einsum3_bf16("kng,kgp->knp", a, b[0], b[1])
+        Pr, Pi = (Ph[..., 0], Pl[..., 0]), (Ph[..., 1], Pl[..., 1])
+        xr, xi = xy[..., 0], xy[..., 1]
+        return jnp.stack([e3(xr, Pr) + e3(xi, Pi),
+                          e3(xi, Pr) - e3(xr, Pi)], axis=-1)
     Pr, Pi = P[..., 0], P[..., 1]
     xr, xi = xy[..., 0], xy[..., 1]
     rr = jnp.einsum("kgp,kng->knp", Pr, xr, precision=prec)
@@ -481,9 +508,18 @@ def _pdag_psi(P, xy, precision=None):
 
 
 def _p_coeff(P, c, precision=None):
-    """P @ c: [nk,nG,np,2] x [nk,nb,np,2] -> [nk,nb,nG,2]."""
-    from ..kernels.dft_matmul import as_precision
+    """P @ c: [nk,nG,np,2] x [nk,nb,np,2] -> [nk,nb,nG,2].
+
+    precision='tensor32': P may be a pre-split bf16 (hi, lo) pair."""
+    from ..kernels.dft_matmul import as_precision, einsum3_bf16, split_bf16
     prec = as_precision(precision)
+    if prec == "tensor32" or isinstance(P, tuple):
+        Ph, Pl = P if isinstance(P, tuple) else split_bf16(P)
+        e3 = lambda a, b: einsum3_bf16("knp,kgp->kng", a, b[0], b[1])
+        Pr, Pi = (Ph[..., 0], Pl[..., 0]), (Ph[..., 1], Pl[..., 1])
+        cr, ci = c[..., 0], c[..., 1]
+        return jnp.stack([e3(cr, Pr) - e3(ci, Pi),
+                          e3(ci, Pr) + e3(cr, Pi)], axis=-1)
     Pr, Pi = P[..., 0], P[..., 1]
     cr, ci = c[..., 0], c[..., 1]
     rr = jnp.einsum("kgp,knp->kng", Pr, cr, precision=prec)

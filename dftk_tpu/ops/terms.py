@@ -327,10 +327,10 @@ def instantiate_terms(basis) -> Terms:
             Aref = make_div_free(Aref, basis.G_cube_cart)
             anyonic = (float(term.hbar), float(term.beta), rho_ref, Aref)
         elif isinstance(term, ExactExchange):
-            from .coulomb import Coulomb as _Coulomb
+            from .coulomb import Coulomb as _Coulomb, kernel_fourier_cube
             kern = term.kernel if term.kernel is not None else _Coulomb()
-            exx_kernel = term.scaling_factor * kern.fourier(
-                Gsq, model.unit_cell_volume)
+            exx_kernel = term.scaling_factor * kernel_fourier_cube(
+                kern, basis)
         elif isinstance(term, PairwisePotential):
             from .pairwise import energy_forces_pairwise
             E_pw, F_pw = energy_forces_pairwise(
