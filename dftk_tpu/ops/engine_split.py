@@ -393,7 +393,7 @@ def apply_local_sandwich(x, pf: "PrunedFFT", M, kspin, precision=None):
     return cdft_axis(y, pf.Fb[2], 2, prec)     # [k,nb,m1,m2,m3,2]
 
 
-def compact_filter_ops(ham: Ham, volume, precision=None):
+def compact_filter_ops(ham: Ham, volume, precision=None, use_pallas=None):
     """(enter, leave, apply_c) for a compact-cube-RESIDENT Chebyshev filter.
 
     The sphere<->compact placement gather costs 3.4 ms of the 8.6 ms Si54
@@ -416,9 +416,22 @@ def compact_filter_ops(ham: Ham, volume, precision=None):
     Returns operators over flat compact arrays [nk, nb, Ncomp, 2].
     Requires a pruned-FFT basis and no mGGA Vtau (DivAgrad falls back to
     the sphere apply).
+
+    use_pallas (default: auto = running on TPU): route the local chain
+    through the fused Pallas kernel (kernels/fused_filter.py) with a
+    Z-MAJOR resident layout - the F3 axis GEMM then directly produces the
+    kernel's input layout, so the whole local apply runs with ZERO HBM
+    transposes (round 3's sandwich path paid two full-slab transposes and
+    a 67 MB M(z,y) stream per apply).  The entered representation differs
+    between the two paths; enter/leave/apply_c are only valid together.
     """
     from ..kernels.dft_matmul import as_precision, split_bf16
     t32 = as_precision(precision) == "tensor32"
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu" \
+            and ham.fft_pruned is not None and ham.Vtau is None
+    if use_pallas:
+        return _compact_filter_ops_fused(ham, volume, precision)
     pf = ham.fft_pruned
     assert pf is not None and ham.Vtau is None
     m_shape = tuple(F.shape[0] for F in pf.Ff)
@@ -468,6 +481,167 @@ def compact_filter_ops(ham: Ham, volume, precision=None):
             DPd = jnp.einsum("pq,knqc->knpc", ham.D, Pd)
             out = out + _p_coeff(P_c, DPd, precision=precision)
         return out * mask_c[:, None, :, None]
+
+    return enter, leave, apply_c
+
+
+def _compact_filter_ops_fused(ham: Ham, volume, precision=None):
+    """Z-major fused-Pallas variant of compact_filter_ops (TPU only).
+
+    Resident representation: X [nk, 2*m3, m2, m1, nb] f32 - z axis leading
+    with the re/im pairing ON z, BANDS ON THE LANE AXIS.  Per apply:
+
+        T  = L3f @ X        one fat GEMM  [2n3, 2m3] x [2m3, m2*m1*nb]
+        T' = pallas mid     (F2f/F1f/V/F1b/F2b fused in VMEM per z-plane)
+        Y  = L3b @ T'       one fat GEMM
+        out = Y + kin_zc * X + P_zc D P_zc^dag X, masked
+
+    No transposes touch HBM: the F3 left-factor GEMMs produce/consume the
+    Pallas kernel's layout directly, and kinetic/nonlocal/mask data are
+    pre-permuted to the z-major compact order at setup.
+
+    precision: None/'highest' (f32), 'tensor32' (compensated bf16, ~1e-7
+    relative on the whole apply), 'default' (1-pass bf16, filter-grade) -
+    applied to the local chain AND the projector GEMMs.  Rayleigh-Ritz /
+    residuals stay on the exact sphere apply (chefsi_step apply_filter).
+    """
+    from ..kernels.dft_matmul import as_precision
+    from ..kernels.fused_filter import (FusedFilterFactors, dot_z,
+                                        fused_filter_mid)
+    pf = ham.fft_pruned
+    assert pf is not None and ham.Vtau is None
+    prec = as_precision(precision)
+    if prec == "tensor32":
+        prec_str = "tensor32"
+    elif prec == jax.lax.Precision.DEFAULT:
+        prec_str = "default"
+    else:
+        prec_str = "highest"
+
+    m_shape = tuple(F.shape[0] for F in pf.Ff)
+    m1, m2, m3 = m_shape
+    Ncomp = int(np.prod(m_shape))
+    nG = ham.kin.shape[1]
+    nk = ham.kin.shape[0]
+    factors = FusedFilterFactors(pf, precision=prec_str)
+
+    # ---- index maps permuted to z-major (m3, m2, m1) compact order ------
+    perm = np.transpose(np.arange(Ncomp).reshape(m_shape), (2, 1, 0)).ravel()
+    inv_np = np.asarray(jax.device_get(pf.inv_idx))
+    inv_zc = jnp.asarray(inv_np[:, perm])                    # [nk, Ncomp]
+    g_np = np.asarray(jax.device_get(pf.Gidx_c))             # m1-major flat
+    i1, r = g_np // (m2 * m3), g_np % (m2 * m3)
+    i2, i3 = r // m3, r % m3
+    gidx_zc = jnp.asarray((i3 * m2 + i2) * m1 + i1)          # [nk, nG]
+
+    live = inv_np[:, perm] < nG
+    mask_zc = jnp.asarray(live.astype(np.float32))           # [nk, Ncomp]
+    kin_pad = jnp.concatenate(
+        [ham.kin, jnp.zeros((nk, 1), ham.kin.dtype)], axis=1)
+    kin_zc = jax.vmap(lambda kp, iv: kp[iv])(kin_pad, inv_zc) * mask_zc
+    kin_b = kin_zc.reshape(nk, m3, 1, m2, m1, 1)
+    mask_b = mask_zc.reshape(nk, m3, 1, m2, m1, 1)
+
+    P_zc = None
+    if ham.P.shape[-2] > 0:
+        P_pad = jnp.concatenate(
+            [ham.P, jnp.zeros((nk, 1) + ham.P.shape[2:], ham.P.dtype)],
+            axis=1)
+        P_zc = jax.vmap(lambda pp, iv: pp[iv])(P_pad, inv_zc) \
+            * mask_zc[:, :, None, None]                      # [nk,Nc,np,2]
+        if prec_str != "highest":
+            from ..kernels.dft_matmul import split_bf16
+            P_zc = split_bf16(P_zc)
+
+    Vzxy = jnp.transpose(ham.V, (0, 3, 1, 2))[ham.kspin]     # [nk,n3,n1,n2]
+    nproj = ham.P.shape[-2]
+
+    def enter(U):
+        xy = jnp.stack([U[..., :nG], U[..., nG:]], axis=-1)
+        pad = jnp.zeros(xy.shape[:2] + (1, 2), xy.dtype)
+        padded = jnp.concatenate([xy, pad], axis=2)
+        flat = jax.vmap(lambda p, inv: p[:, inv, :])(padded, inv_zc)
+        x6 = flat.reshape(xy.shape[:2] + (m3, m2, m1, 2))
+        # [k, nb, m3, m2, m1, 2] -> [k, m3, 2, m2, m1, nb] (bands -> lanes)
+        x6 = jnp.transpose(x6, (0, 2, 5, 3, 4, 1))
+        return x6.reshape(x6.shape[0], 2 * m3, m2, m1, x6.shape[-1])
+
+    def leave(X):
+        k, _, _, _, nb = X.shape
+        x6 = X.reshape(k, m3, 2, m2, m1, nb)
+        x6 = jnp.transpose(x6, (0, 5, 1, 3, 4, 2))           # [k,nb,m3,m2,m1,2]
+        flat = x6.reshape(k, nb, Ncomp, 2)
+        out = jax.vmap(lambda f, idx: f[:, idx, :])(flat, gidx_zc)
+        out = out * ham.mask[:, None, :, None]
+        return jnp.concatenate([out[..., 0], out[..., 1]], axis=-1)
+
+    def _nl(X):
+        """P D P^dag in the z-major layout; big-K GEMMs over Ncomp.
+
+        The projector matrix (Ncomp x nproj, tens of MB) dominates as an
+        HBM stream, so re/im band blocks are CONCATENATED and contracted
+        against each of Pr/Pi in ONE GEMM - P streams twice per direction
+        instead of four times."""
+        from ..kernels.dft_matmul import einsum3_bf16
+        k, _, _, _, nb = X.shape
+        x6 = X.reshape(k, m3, 2, m2, m1, nb)
+        xr = x6[:, :, 0].reshape(k, Ncomp, nb)
+        xi = x6[:, :, 1].reshape(k, Ncomp, nb)
+        xri = jnp.concatenate([xr, xi], axis=-1)             # [k, Nc, 2nb]
+        if isinstance(P_zc, tuple):
+            Ph, Pl = P_zc
+            if prec_str == "default":
+                kw = dict(precision=jax.lax.Precision.DEFAULT,
+                          preferred_element_type=jnp.float32)
+                e3 = lambda a, b: jnp.einsum(
+                    "kcb,kcp->kbp", a.astype(jnp.bfloat16), b[0], **kw)
+                e3c = lambda a, b: jnp.einsum(
+                    "kbp,kcp->kcb", a.astype(jnp.bfloat16), b[0], **kw)
+            else:
+                e3 = lambda a, b: einsum3_bf16("kcb,kcp->kbp", a, b[0], b[1])
+                e3c = lambda a, b: einsum3_bf16("kbp,kcp->kcb", a, b[0], b[1])
+            Pr = (Ph[..., 0], Pl[..., 0])
+            Pi = (Ph[..., 1], Pl[..., 1])
+        else:
+            hi = jax.lax.Precision.HIGHEST
+            e3 = lambda a, b: jnp.einsum("kcb,kcp->kbp", a, b[0],
+                                         precision=hi)
+            e3c = lambda a, b: jnp.einsum("kbp,kcp->kcb", a, b[0],
+                                          precision=hi)
+            Pr = (P_zc[..., 0],)
+            Pi = (P_zc[..., 1],)
+        # P^dag x (conjugated projectors): [Pr.xr | Pr.xi], [Pi.xr | Pi.xi]
+        ar = e3(xri, Pr)                                     # [k, 2nb, np]
+        ai = e3(xri, Pi)
+        cr = ar[:, :nb] + ai[:, nb:]                         # [k, nb, np]
+        ci = ar[:, nb:] - ai[:, :nb]
+        d2 = jnp.einsum("pq,kbq->kbp", ham.D,
+                        jnp.concatenate([cr, ci], axis=1))   # [k, 2nb, np]
+        # P c: [Pr.dr | Pr.di], [Pi.dr | Pi.di]
+        yr2 = e3c(d2, Pr)                                    # [k, Nc, 2nb]
+        yi2 = e3c(d2, Pi)
+        yr = yr2[..., :nb] - yi2[..., nb:]
+        yi = yr2[..., nb:] + yi2[..., :nb]
+        y6 = jnp.stack([yr.reshape(k, m3, m2, m1, nb),
+                        yi.reshape(k, m3, m2, m1, nb)], axis=2)
+        return y6.reshape(k, 2 * m3, m2, m1, nb)
+
+    def apply_c(X):
+        T = dot_z((factors.f3f), X, prec_str)                # [k,2n3,...]
+        k, tn3 = T.shape[0], T.shape[1]
+        T5 = T.reshape(k, tn3 // 2, 2, m2, m1, T.shape[-1])
+        mid = jax.vmap(lambda tt, vv: fused_filter_mid(tt, vv, factors)
+                       )(T5, Vzxy)
+        Y = dot_z((factors.f3b),
+                  mid.reshape(k, tn3, m2, m1, T.shape[-1]), prec_str)
+        x6 = X.reshape(k, m3, 2, m2, m1, X.shape[-1])
+        y6 = Y.reshape(k, m3, 2, m2, m1, X.shape[-1])
+        out = y6 + kin_b * x6
+        out = out.reshape(X.shape)
+        if nproj > 0:
+            out = out + _nl(X)
+        out6 = out.reshape(k, m3, 2, m2, m1, X.shape[-1]) * mask_b
+        return out6.reshape(X.shape)
 
     return enter, leave, apply_c
 

@@ -223,16 +223,19 @@ def irrfbz_path(lattice, kline_density=20, paths=None):
 
 
 def compute_bands(scfres, kcoords=None, n_bands=None, kline_density=20,
-                  tol=1e-8, maxiter=200):
+                  tol=1e-8, maxiter=200, paths=None):
     """Eigenvalues along a k-path at the fixed SCF density.
 
+    `paths` selects a custom named path (forwarded to irrfbz_path), e.g.
+    ["G", "M", "K", "G"] for the in-plane path of a 2D material --- the
+    reference's custom-kpath flow (examples/graphene.jl).
     Returns dict with eigenvalues [nk_path, n_bands], kpath info, epsF.
     """
     basis = scfres.basis
     model = basis.model
     kpath = None
     if kcoords is None:
-        kpath = irrfbz_path(model.lattice, kline_density)
+        kpath = irrfbz_path(model.lattice, kline_density, paths=paths)
         kcoords = kpath.kcoords
     if n_bands is None:
         n_bands = scfres.eigenvalues.shape[1]

@@ -318,7 +318,15 @@ def self_consistent_field(
                       or getattr(mixing, "needs_ldos", False))
     needs_state = getattr(mixing, "needs_state", False)
     if not is_ldos_mixing and not needs_state:
-        mix = jax.jit(lambda dF: mixing.mix_density(dF, Gsq))
+        # iteration-aware mixings (reference scf/mixing.jl passes n_iter to
+        # mix_density) run unjitted so Python-level schedules work; the
+        # stateless built-ins keep the jitted fast path.
+        import inspect
+        if "n_iter" in inspect.signature(mixing.mix_density).parameters:
+            mix = lambda dF, it: mixing.mix_density(dF, Gsq, n_iter=it)
+        else:
+            _mixj = jax.jit(lambda dF: mixing.mix_density(dF, Gsq))
+            mix = lambda dF, it: _mixj(dF)
 
     @jax.jit
     def _ldos_at(psi_c, eigvals_c, epsF_c):
@@ -436,7 +444,7 @@ def self_consistent_field(
                 kw["volume"] = volume
             delta_rho = mixing.mix_density(delta_F, Gsq, **kw)
         else:
-            delta_rho = mix(delta_F)
+            delta_rho = mix(delta_F, it + 1)
         rho = anderson(rho, delta_rho, damping)
         # adaptive eigensolver tolerance, tightening with density residual
         diagtol = min(diagtol, max(diagtol_ratio * drho, diagtol_min))

@@ -16,3 +16,26 @@ import jax  # noqa: E402
 # import time; the config update below wins over that.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+import pathlib  # noqa: E402
+
+import pytest  # noqa: E402
+
+# ---- 'minimal' fast tier (reference :minimal payload) -----------------------
+# tests/minimal_tier.txt lists the node IDs of a <10-minute broad smoke
+# subset; run it with `pytest -m minimal`.  Regenerate the list with
+# tools/make_minimal_tier.py from a --durations=0 full run.
+_here = pathlib.Path(__file__).resolve().parent
+_MINIMAL = {
+    line.strip() for line in (_here / "minimal_tier.txt").read_text().split("\n")
+    if line.strip() and not line.startswith("#")
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        nodeid = item.nodeid
+        if not nodeid.startswith("tests/"):
+            nodeid = "tests/" + nodeid
+        if nodeid in _MINIMAL:
+            item.add_marker(pytest.mark.minimal)
