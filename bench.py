@@ -52,6 +52,58 @@ def build_problem(n_rep=2, Ecut=10.0):
     return basis
 
 
+def main_si256():
+    """The BASELINE.json north-star metric as a driver-runnable case:
+    DFTK_BENCH_CASE=si256 python bench.py
+
+    Runs the two-phase Si256 flow (tools/run_si_big.py: f32 chip SCF with
+    the CheFSI compact filter to a density tolerance, then an f64 CPU
+    energy refinement of the converged state - variational, so the f32
+    state error enters the energy only at second order) and emits ONE
+    JSON line with the SCF wall-time, s/iteration, and refined energy.
+    vs_baseline compares against the round-3 builder-reported 421 s wall
+    for the same flow (docs/BENCHMARKS.md)."""
+    import re
+    import subprocess
+    here = os.path.dirname(os.path.abspath(__file__))
+    cells = os.environ.get("DFTK_BENCH_SI256_CELLS", "4 4 2").split()
+    t0 = time.time()
+    proc = subprocess.run(
+        [sys.executable, os.path.join(here, "tools", "run_si_big.py")]
+        + cells + ["10.0"],
+        capture_output=True, text=True)
+    out = proc.stdout
+    sys.stderr.write(out[-4000:] + proc.stderr[-2000:])
+    iters = re.findall(r"it=(\d+) E=([-\d.]+) drho=([\d.e+-]+) \[(\d+)s\]",
+                       out)
+    final = re.search(r"FINAL Si(\d+): E = ([-\d.]+) Ha .*converged=(\w+), "
+                      r"wall = (\d+)s", out)
+    refined = re.search(r"REFINED Si\d+: E = ([-\d.]+) Ha "
+                        r"\(([-\d.]+) Ha/atom\)", out)
+    if not final:
+        print(json.dumps({"metric": "Si256 SCF wall", "value": -1.0,
+                          "unit": "s", "vs_baseline": 0.0,
+                          "error": "run failed; see stderr"}))
+        return
+    wall = float(final.group(4))
+    n_it = len(iters)
+    t_first = float(iters[0][3]) if iters else 0.0
+    s_per_it = (wall - t_first) / max(n_it - 1, 1) if iters else 0.0
+    print(json.dumps({
+        "metric": f"Si{final.group(1)} Gamma Ecut=10 two-phase SCF wall "
+                  f"(f32 chip CheFSI + f64 refine; converged="
+                  f"{final.group(3)}, {n_it} iterations, "
+                  f"{s_per_it:.1f} s/iter steady-state)",
+        "value": round(wall, 1),
+        "unit": "s",
+        "vs_baseline": round(421.0 / wall, 3),
+        "E_f32": float(final.group(2)),
+        "E_refined_f64": float(refined.group(1)) if refined else None,
+        "E_refined_per_atom": float(refined.group(2)) if refined else None,
+        "total_wall_incl_refine": round(time.time() - t0, 1),
+    }))
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -86,7 +138,14 @@ def main():
 
     fft_size = basis.fft_size
     vol = model.unit_cell_volume
-    n_iter = 20
+    # chain length: the axon tunnel has a ~27 ms fixed dispatch/fetch cost
+    # per jit call, so applies/s = n_iter/(n_iter*c + D) under-reports the
+    # true per-apply cost c unless the chain is long.  Production amortizes
+    # D over an entire jitted SCF step (hundreds of applies per dispatch),
+    # so a long chain is the representative measurement; n=100 carries
+    # ~0.3 ms/apply of residual dispatch cost (rounds 1-3 used n=20,
+    # ~1.4 ms/apply of it - see docs/BENCHMARKS.md round-4 notes).
+    n_iter = int(os.environ.get("DFTK_BENCH_CHAIN", "100"))
 
     # chain the applies ON DEVICE (lax.fori_loop): one dispatch, honest
     # wall-clock including overlap - host-side async chaining can under-
@@ -120,7 +179,8 @@ def main():
     value = applies / dt
     print(json.dumps({
         "metric": f"HPsi band-applies/s/chip (Si{2 * n_rep**3} Gamma, "
-                  f"Ecut={Ecut}, fft={fft_size}, nb={nb}, f32 split engine)",
+                  f"Ecut={Ecut}, fft={fft_size}, nb={nb}, f32 split engine, "
+                  f"chain n={n_iter})",
         "value": round(value, 1),
         "unit": "band_applies_per_s",
         "vs_baseline": round(value / BASELINE_CPU_APPLIES_PER_S, 3),
@@ -128,4 +188,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("DFTK_BENCH_CASE", "").lower() == "si256":
+        main_si256()
+    else:
+        main()
