@@ -352,3 +352,125 @@ def kernel_fourier_cube(kernel, basis):
         return kernel.fourier_cube(basis)
     Gsq = np.sum(basis.G_cube_cart ** 2, axis=-1)
     return kernel.fourier(Gsq, basis.model.unit_cell_volume)
+
+
+# ---------------------------------------------------------------------------
+# k-grid exact exchange: kernels on the shifted grids G + q
+# ---------------------------------------------------------------------------
+
+class _BvkShim:
+    """Duck-typed stand-in for ``fourier_cube`` evaluation on the
+    Born-von-Karman supercell (lattice columns scaled by the k-grid dims,
+    FFT grid scaled likewise).  Provides exactly the attributes the kernel
+    classes read (model.lattice/recip_lattice/unit_cell_volume, fft_size,
+    r_cube, G_cube_cart)."""
+
+    class _M:
+        pass
+
+    def __init__(self, lattice, fft_size):
+        from . import fft as fftops
+        lattice = np.asarray(lattice, dtype=float)
+        m = self._M()
+        m.lattice = lattice
+        m.recip_lattice = 2 * math.pi * np.linalg.inv(lattice).T
+        m.unit_cell_volume = abs(np.linalg.det(lattice))
+        self.model = m
+        self.fft_size = tuple(int(n) for n in fft_size)
+        self.r_cube = fftops.r_vectors(self.fft_size)
+        G = fftops.G_vectors_cube(self.fft_size).astype(float)
+        self.G_cube_cart = np.einsum("ab,xyzb->xyza", m.recip_lattice, G)
+
+
+def _infer_kgrid_dims(kc_spatial):
+    """Diagonal Monkhorst-Pack dims (n1, n2, n3) from the spatial k-point
+    fractional coordinates; None if the set is not a full diagonal grid."""
+    nk = len(kc_spatial)
+    dims = []
+    for d in range(3):
+        vals = np.unique(np.round(np.mod(kc_spatial[:, d], 1.0), 8))
+        dims.append(len(vals))
+        # the axis values must be an equispaced 1/n_d grid (possibly shifted)
+        if len(vals) > 1:
+            step = np.diff(vals)
+            if not np.allclose(step, 1.0 / len(vals), atol=1e-8):
+                return None
+    if int(np.prod(dims)) != nk:
+        return None
+    return tuple(dims)
+
+
+def exx_q_kernels(kernel, basis):
+    """Exchange kernels for a k-point grid: (vq, iq) with
+    ``vq[iq[ik, jk]]`` the kernel cube evaluated at ``|G + k_ik - k_jk|^2``.
+
+    Born-von-Karman conventions (the standard route to k-converged hybrid
+    energies, Spencer & Alavi PRB 77, 193110): truncated kernels take their
+    truncation radius / truncation cell from the BvK supercell
+    (``nk_spatial`` unit cells), and the only singular element -- G+q = 0,
+    which occurs for q = 0 only -- carries the kernel's own finite DC
+    convention at the BvK volume.  At nk_spatial == 1 this reduces exactly
+    to ``kernel_fourier_cube`` (the Gamma-only path, byte-identical).
+
+    WignerSeitzTruncatedCoulomb is handled by building the Sundararaman-
+    Arias kernel once on the BvK supercell grid and SLICING the shifted
+    sub-grids out: the BvK reciprocal lattice points are exactly the
+    {G + q} set.  Requires a full diagonal Monkhorst-Pack q-difference set.
+
+    Returns (vq [nq, n1, n2, n3] float64, iq [nk, nk] int32) with nk the
+    spin-duplicated k-point count (q depends on the spatial part only).
+
+    Reference context: DFTK restricts exact exchange to Gamma
+    (src/terms/exact_exchange.jl:52) and names the k-point generalisation
+    a TODO (src/terms/exact_exchange.jl:31); this implements it.
+    """
+    kc = np.asarray(basis.kcoords_spin, dtype=float)         # [nk, 3] frac
+    nk = len(kc)
+    # unique spatial k-points (collinear spin duplicates the list)
+    kc_sp = np.unique(np.round(np.mod(kc, 1.0), 8), axis=0)
+    nk_spatial = len(kc_sp)
+
+    # ---- unique difference set q = k - k' ---------------------------------
+    # UNWRAPPED differences of the stored representatives: the periodic
+    # parts' Fourier labels are relative to those representatives, so the
+    # kernel must be evaluated at the literal G + (k - k') (wrapping q by a
+    # reciprocal vector would shift the cube and change the aliasing at the
+    # cube boundary).
+    dq = kc[:, None, :] - kc[None, :, :]
+    keys = np.round(dq, 8).reshape(nk * nk, 3)
+    uniq, inv = np.unique(keys, axis=0, return_inverse=True)
+    iq = inv.reshape(nk, nk).astype(np.int32)
+    nq = len(uniq)
+
+    B = np.asarray(basis.model.recip_lattice, dtype=float)
+    vol_bvk = basis.model.unit_cell_volume * nk_spatial
+    Gf = np.asarray(basis.G_cube, dtype=float)                # integer freqs
+
+    if isinstance(kernel, WignerSeitzTruncatedCoulomb):
+        dims = _infer_kgrid_dims(kc_sp)
+        if dims is None:
+            raise NotImplementedError(
+                "WignerSeitzTruncatedCoulomb exchange needs a diagonal "
+                "Monkhorst-Pack k-grid (BvK supercell construction)")
+        if dims == (1, 1, 1):
+            return (kernel.fourier_cube(basis)[None], iq)
+        lat_bvk = np.asarray(basis.model.lattice, float) * np.array(dims)
+        grid_bvk = tuple(n * d for n, d in zip(basis.fft_size, dims))
+        K = kernel.fourier_cube(_BvkShim(lat_bvk, grid_bvk))
+        vq = np.empty((nq,) + tuple(basis.fft_size))
+        for a, q in enumerate(uniq):
+            m = np.round(Gf * np.array(dims) + q * np.array(dims))
+            m = m.astype(int) % np.array(grid_bvk)
+            vq[a] = K[m[..., 0], m[..., 1], m[..., 2]]
+        return vq, iq
+
+    if nk_spatial == 1:
+        # exact Gamma-only parity: same cube, same regularisation
+        return np.asarray(kernel_fourier_cube(kernel, basis))[None], iq
+
+    vq = np.empty((nq,) + tuple(basis.fft_size))
+    for a, q in enumerate(uniq):
+        Gpq = np.einsum("ab,xyzb->xyza", B, Gf + q)
+        Gsq = np.sum(Gpq * Gpq, axis=-1)
+        vq[a] = kernel.fourier(Gsq, vol_bvk)
+    return vq, iq

@@ -37,15 +37,18 @@ class Ham(NamedTuple):
     Vtau: Any = None     # [nspin, grid] meta-GGA tau potential (or None)
     Gpk: Any = None      # [nk, nG, 3] Cartesian k+G (needed with Vtau)
     Apot: Any = None     # [n1,n2,n3,3] vector potential (Magnetic term)
-    exx_kernel: Any = None   # [n1,n2,n3] Fourier exchange kernel (or None)
+    exx_kernel: Any = None   # [n1,n2,n3] Fourier exchange kernel (or None);
+                             # with exx_iq set: [nq, n1,n2,n3] kernels at G+q
     exx_psi: Any = None      # [nk, nb_x, nG] orbitals generating the exchange
-    exx_occ: Any = None      # [nk, nb_x] their occupations / filled
+    exx_occ: Any = None      # [nk, nb_x] their GENERATOR weights
+                             # (w_k * occ / filled; w_k == 1 at Gamma)
+    exx_iq: Any = None       # [nk, nk] int32 q-kernel index map (k-grid EXX)
     fft_pruned: Any = None   # split-engine pruned matmul-DFT data
 
 
 def build_ham(basis_data, terms_data: TermsData, V_local, kin_override=None,
               Vtau=None, Apot=None, exx_kernel=None, exx_psi=None,
-              exx_occ=None):
+              exx_occ=None, exx_iq=None):
     if kin_override is not None:
         kin = kin_override
     elif getattr(terms_data, "kin", None) is not None:
@@ -58,7 +61,8 @@ def build_ham(basis_data, terms_data: TermsData, V_local, kin_override=None,
                V=V_local, P=terms_data.P, D=terms_data.D,
                Vtau=Vtau, Apot=Apot,
                Gpk=basis_data.Gpk_cart if need_gpk else None,
-               exx_kernel=exx_kernel, exx_psi=exx_psi, exx_occ=exx_occ)
+               exx_kernel=exx_kernel, exx_psi=exx_psi, exx_occ=exx_occ,
+               exx_iq=exx_iq)
 
 
 def apply_H(ham: Ham, psi, fft_size, volume, band_chunk: Optional[int] = None):
@@ -146,8 +150,15 @@ def _apply_magnetic(ham: Ham, psi, fft_size):
 
 def _apply_exchange(ham: Ham, phi, fft_size, volume):
     """Fock exchange contribution (operators.jl:192-210 semantics):
-        (Vx phi)(r) = - sum_n (f_n/filled) psi_n(r) Poisson[psi_n^* phi](r).
-    One batched Poisson solve per generating orbital (lax.scan over n)."""
+        (Vx phi)_{kn}(r) = - sum_{k'm} w_{k'} (f_{k'm}/filled) u_{k'm}(r)
+                             Poisson_{k-k'}[u_{k'm}^* u_{kn}](r)
+    on the PERIODIC parts u; the Bloch phase difference q = k - k' moves
+    into the kernel, evaluated at G+q (ham.exx_kernel[ham.exx_iq[k, k']],
+    coulomb.exx_q_kernels).  One batched Poisson solve per generating
+    orbital (lax.scan).  At Gamma (exx_iq None) exchange is k-diagonal and
+    the scan runs over bands only, batched element-wise in k -- the
+    reference's Gamma-only operator; the k-grid path is the TODO it names
+    (src/terms/exact_exchange.jl:31,52)."""
     import numpy as np
     N = int(np.prod(fft_size))
     scale = N / math.sqrt(volume)
@@ -160,19 +171,41 @@ def _apply_exchange(ham: Ham, phi, fft_size, volume):
                  )(ham.exx_psi, ham.Gidx, ham.mask), axes=(-3, -2, -1)) * scale
 
     kern = ham.exx_kernel
-
-    def one_orbital(acc, inp):
-        psin, fn = inp          # [nk, grid], [nk]
-        pair = psin.conj()[:, None] * phir                  # [nk, nb, grid]
-        V = jnp.fft.ifftn(kern * jnp.fft.fftn(pair, axes=(-3, -2, -1)),
-                          axes=(-3, -2, -1))
-        acc = acc - fn[:, None, None, None, None] * psin[:, None] * V
-        return acc, None
-
     acc0 = jnp.zeros_like(phir)
-    acc, _ = jax.lax.scan(one_orbital, acc0,
-                          (jnp.moveaxis(psir, 1, 0),
-                           jnp.moveaxis(ham.exx_occ, 1, 0)))
+
+    if ham.exx_iq is None:
+        def one_orbital(acc, inp):
+            psin, fn = inp      # [nk, grid], [nk]
+            pair = psin.conj()[:, None] * phir              # [nk, nb, grid]
+            V = jnp.fft.ifftn(kern * jnp.fft.fftn(pair, axes=(-3, -2, -1)),
+                              axes=(-3, -2, -1))
+            acc = acc - fn[:, None, None, None, None] * psin[:, None] * V
+            return acc, None
+
+        acc, _ = jax.lax.scan(one_orbital, acc0,
+                              (jnp.moveaxis(psir, 1, 0),
+                               jnp.moveaxis(ham.exx_occ, 1, 0)))
+    else:
+        # k-grid exchange: every generating orbital (k', m) acts on the
+        # bands of EVERY same-spin k; scan over the flattened generator
+        # list, batched over (k, n) inside each step.
+        nk, nx = psir.shape[:2]
+        gen_psi = psir.reshape((nk * nx,) + psir.shape[2:])
+        gen_f = ham.exx_occ.reshape(nk * nx)
+        gen_k = jnp.repeat(jnp.arange(nk, dtype=jnp.int32), nx)
+
+        def one_generator(acc, inp):
+            psin, fn, kp = inp  # [grid], scalar, int32
+            vqs = kern[ham.exx_iq[:, kp]]                   # [nk, n1,n2,n3]
+            ss = (ham.kspin == ham.kspin[kp]).astype(acc.real.dtype)
+            pair = psin.conj()[None, None] * phir           # [nk, nb, grid]
+            V = jnp.fft.ifftn(vqs[:, None] * jnp.fft.fftn(
+                pair, axes=(-3, -2, -1)), axes=(-3, -2, -1))
+            w = fn * ss                                     # [nk]
+            acc = acc - w[:, None, None, None, None] * psin[None, None] * V
+            return acc, None
+
+        acc, _ = jax.lax.scan(one_generator, acc0, (gen_psi, gen_f, gen_k))
     back = jnp.fft.fftn(acc, axes=(-3, -2, -1)) * (math.sqrt(volume) / N)
     return jax.vmap(fftops.gather_from_cube)(back, ham.Gidx, ham.mask)
 

@@ -223,7 +223,10 @@ class Terms:
     rho_core_np: Optional[np.ndarray]    # NLCC core density on the grid
     tau_core_np: Optional[np.ndarray]    # NLCC core kinetic density (mGGA)
     kin_np: Optional[np.ndarray]         # kinetic override (blow-up), or None
-    exx_kernel_np: Optional[np.ndarray]  # Fourier exchange kernel, or None
+    exx_kernel_np: Optional[np.ndarray]  # [nq, n1,n2,n3] exchange kernels at
+                                         # G+q for the k-difference set
+                                         # (nq == 1 at Gamma), or None
+    exx_iq_np: Optional[np.ndarray]      # [nk, nk] int32 q index map, or None
     hubbard_manifolds: Optional[tuple]
     anyonic: Optional[tuple]             # (hbar, beta, rho_ref, Aref) or None
     Apot_np: Optional[np.ndarray]        # [n1,n2,n3,3] vector potential
@@ -293,6 +296,7 @@ def instantiate_terms(basis) -> Terms:
     E_pairwise = 0.0
     pairwise_forces = None
     exx_kernel = None
+    exx_iq = None
     hubbard_manifolds = None
     anyonic = None
     Apot_np = None
@@ -327,10 +331,14 @@ def instantiate_terms(basis) -> Terms:
             Aref = make_div_free(Aref, basis.G_cube_cart)
             anyonic = (float(term.hbar), float(term.beta), rho_ref, Aref)
         elif isinstance(term, ExactExchange):
-            from .coulomb import Coulomb as _Coulomb, kernel_fourier_cube
+            # kernels for every k-difference q = k - k' (exx_q_kernels;
+            # nq == 1 cube at Gamma, identical to the reference's
+            # Gamma-only kernel); k-grid exchange sums generators over the
+            # full same-spin k' list with these shifted kernels
+            from .coulomb import Coulomb as _Coulomb, exx_q_kernels
             kern = term.kernel if term.kernel is not None else _Coulomb()
-            exx_kernel = term.scaling_factor * kernel_fourier_cube(
-                kern, basis)
+            vq, exx_iq = exx_q_kernels(kern, basis)
+            exx_kernel = term.scaling_factor * vq
         elif isinstance(term, PairwisePotential):
             from .pairwise import energy_forces_pairwise
             E_pw, F_pw = energy_forces_pairwise(
@@ -391,7 +399,8 @@ def instantiate_terms(basis) -> Terms:
                   P_np=P, D_np=D, Gsq_np=Gsq,
                   kinetic_scale=float(kinetic_scale),
                   rho_core_np=rho_core, tau_core_np=tau_core,
-                  kin_np=kin_np, exx_kernel_np=exx_kernel, anyonic=anyonic,
+                  kin_np=kin_np, exx_kernel_np=exx_kernel,
+                  exx_iq_np=exx_iq, anyonic=anyonic,
                   hubbard_manifolds=hubbard_manifolds,
                   Apot_np=Apot_np,
                   E_pairwise=E_pairwise,

@@ -212,11 +212,21 @@ def self_consistent_field(
             basis, terms.hubbard_manifolds)
         hub_plan = build_occupation_symmetrization(
             basis, terms.hubbard_manifolds, hub_slices)
+    exx_iq = None
     if has_exx:
-        assert basis.n_kpoints == nspin, \
-            "ExactExchange currently requires Gamma-point-only calculations " \
-            "(like the reference, terms/exact_exchange.jl:52)"
-        exx_kernel = jnp.asarray(terms.exx_kernel_np)
+        # Gamma: one kernel cube, k-diagonal exchange (the reference's only
+        # mode, terms/exact_exchange.jl:52).  k-grids (BEYOND the
+        # reference): kernels at every G+q difference + the index map; the
+        # generator sum then runs over the full same-spin k' list, so the
+        # k-point set must be an unreduced (symmetries=False) uniform grid.
+        exx_kernel = jnp.asarray(terms.exx_kernel_np[0])
+        if basis.n_kpoints != nspin:
+            w = basis.kweights_irr
+            assert np.allclose(w, w[0]), \
+                "k-grid ExactExchange needs an unreduced uniform k-point " \
+                "set (build the basis with symmetries=False)"
+            exx_kernel = jnp.asarray(terms.exx_kernel_np)
+            exx_iq = jnp.asarray(terms.exx_iq_np)
     fft_size = basis.fft_size
     volume = model.unit_cell_volume
     dvol = basis.dvol
@@ -232,8 +242,10 @@ def self_consistent_field(
     def scf_step(rho_in, psi_in, diagtol, tau_in=None, exx_occ_in=None):
         exx_kw = {"Apot": Apot}
         if has_exx:
+            # generator weights w_k' f/filled (w == 1 at Gamma)
             exx_kw.update(exx_kernel=exx_kernel, exx_psi=psi_in,
-                          exx_occ=exx_occ_in / filled)
+                          exx_occ=bd.kweights[:, None] * exx_occ_in / filled,
+                          exx_iq=exx_iq)
         if needs_tau:
             V, Vtau, _ = hamops.total_potential(terms, rho_in, Gcart, volume,
                                                 tau=tau_in)
@@ -294,8 +306,9 @@ def self_consistent_field(
         energies.update(hamops.psi_energies(ham_out, terms, res.X, occ,
                                             bd.kweights))
         if has_exx:
-            ham_x = ham_out._replace(exx_kernel=exx_kernel, exx_psi=res.X,
-                                     exx_occ=occ / filled)
+            ham_x = ham_out._replace(
+                exx_kernel=exx_kernel, exx_psi=res.X,
+                exx_occ=bd.kweights[:, None] * occ / filled, exx_iq=exx_iq)
             energies["ExactExchange"] = hamops.exchange_energy(
                 ham_x, res.X, occ, bd.kweights, fft_size, volume, filled)
         if has_hubbard:

@@ -25,7 +25,7 @@ def test_hf_exchange_cancels_half_hartree():
     # probe-charge G=0 contribution: (f^2/2/filled) * v(0)/Omega with f=2;
     # v(0) read off the term's own regularised kernel (Gygi-Baldereschi)
     vol = basis.model.unit_cell_volume
-    v0 = float(basis.terms.exx_kernel_np[0, 0, 0])
+    v0 = float(basis.terms.exx_kernel_np[0, 0, 0, 0])
     assert abs(Ex - (-EH / 2 - v0 / vol)) < 1e-4
 
 
