@@ -101,7 +101,8 @@ def chebyshev_filter(apply_A, X, degree, lb, ub, band_chunk=None,
 
 def chefsi_step(apply_A, X, mask, degree=8, lb=None, ub=None,
                 n_conv=None, lb_margin=0.05, cycles=1, apply_filter=None,
-                band_chunk=None, csplit=False, filter_wrap=None):
+                band_chunk=None, csplit=False, filter_wrap=None,
+                apply_filter_last=None, n_exact_last=1):
     """Filter + orthonormalise + Rayleigh-Ritz cycles.
 
     csplit=True: X rows are realified COMPLEX bands (x; y) - the Chebyshev
@@ -118,9 +119,28 @@ def chefsi_step(apply_A, X, mask, degree=8, lb=None, ub=None,
     recurrence (e.g. reduced-precision matmuls).  The filter merely shapes
     the subspace; Rayleigh-Ritz and residuals stay on apply_A, so the
     returned eigenpairs keep full accuracy.
+
+    apply_filter_last: optional SEPARATE filter apply for the final
+    n_exact_last cycles.  The mixed-precision schedule (engine_split
+    filter_precision='mixed') passes the 1-pass-bf16 apply as
+    apply_filter and the exact f32 apply here: the output subspace is
+    shaped by exact filtering (so the SCF's reachable density-residual
+    floor is the f32 one), while earlier cycles run at bf16 speed.  A
+    pure-bf16 filter chain was measured to cap the Si64 density residual
+    at ~7e-4 (vs ~1e-4 exact) and the refined energy at 2.4e-5 Ha/atom
+    off -- the trailing exact cycles remove that ceiling.
+
+    cycles AND n_exact_last may be TRACED integers: the cycle loop is a
+    lax.fori_loop and the per-cycle filter choice a lax.cond, so the SCF
+    autopilot can deepen the filter when the residual stalls AND dial the
+    bf16/exact cycle split per iteration (all-bf16 far from convergence,
+    all-exact to finish) without recompiling -- a recompile was measured
+    at 100-200 s at Si64 scale, larger than the entire remaining SCF.
     """
     if apply_filter is None:
         apply_filter = apply_A
+    if apply_filter_last is None:
+        apply_filter_last = apply_filter
     if ub is None:
         # with filter_wrap, apply_filter acts in the wrapped representation
         # and cannot take sphere vectors; bound the spectrum on apply_A
@@ -130,29 +150,37 @@ def chefsi_step(apply_A, X, mask, degree=8, lb=None, ub=None,
     nb = X.shape[1]
     if n_conv is None:
         n_conv = max(1, (3 * nb) // 4)
+    idx = min(n_conv, nb - 1)
+    enter, leave = filter_wrap if filter_wrap is not None else (None, None)
+    two_filters = apply_filter_last is not apply_filter
+    n_cycles = jnp.asarray(cycles, dtype=jnp.int32)
+    n_exact = jnp.asarray(n_exact_last, dtype=jnp.int32)
 
-    theta = None
-    for _ in range(cycles):
-        if lb is None or theta is not None:
-            if theta is None:
-                AX = apply_A(X)
-                ritz = jnp.einsum("kng,kng->kn", X.conj(), AX).real \
-                    / jnp.maximum(
-                        jnp.einsum("kng,kng->kn", X.conj(), X).real, 1e-30)
-                ritz = jnp.sort(ritz, axis=1)
-            else:
-                ritz = theta
-            idx = min(n_conv, nb - 1)
-            lb_cur = jnp.max(ritz[:, idx]) + lb_margin
+    # initial (sorted) Ritz estimates for the first damping window
+    AX0 = apply_A(X)
+    ritz0 = jnp.einsum("kng,kng->kn", X.conj(), AX0).real \
+        / jnp.maximum(jnp.einsum("kng,kng->kn", X.conj(), X).real, 1e-30)
+    ritz0 = jnp.sort(ritz0, axis=1)
+
+    def one_cycle(i, carry):
+        X, _AX, theta = carry
+        if lb is None:
+            lb_cur = jnp.max(theta[:, idx]) + lb_margin
         else:
             lb_cur = lb
         lb_cur = jnp.minimum(lb_cur, ub - 0.2 * jnp.abs(ub))
 
-        enter, leave = filter_wrap if filter_wrap is not None else (None,
-                                                                    None)
-        Y = chebyshev_filter(apply_filter, X, degree, lb_cur, ub,
-                             band_chunk=band_chunk, enter=enter,
-                             leave=leave) * mask[:, None, :]
+        def run_filter(af, Xin):
+            return chebyshev_filter(af, Xin, degree, lb_cur, ub,
+                                    band_chunk=band_chunk, enter=enter,
+                                    leave=leave) * mask[:, None, :]
+
+        if two_filters:
+            Y = jax.lax.cond(i >= n_cycles - n_exact,
+                             lambda Xin: run_filter(apply_filter_last, Xin),
+                             lambda Xin: run_filter(apply_filter, Xin), X)
+        else:
+            Y = run_filter(apply_filter, X)
         if csplit:
             from .csplit import cgram, ceigh_pairs, crotate, ortho_qr_csplit
             Y = ortho_qr_csplit(Y)
@@ -160,20 +188,24 @@ def chefsi_step(apply_A, X, mask, degree=8, lb=None, ub=None,
             Hr, Hi = cgram(Y, AY)
             pert = 1e4 * float(jnp.finfo(Y.dtype).eps)
             theta, (Cr, Ci) = ceigh_pairs(Hr, Hi, perturb=pert)
-            X = crotate(Cr, Ci, Y)
-            AX_new = crotate(Cr, Ci, AY)
+            Xn = crotate(Cr, Ci, Y)
+            AXn = crotate(Cr, Ci, AY)
             # exact Rayleigh quotients (ceigh's pair-splitting ramp biases
             # its eigenvalues by up to ~1e4 eps |H|)
-            theta = jnp.einsum("kng,kng->kn", X, AX_new)
+            theta = jnp.einsum("kng,kng->kn", Xn, AXn)
         else:
             Y = ortho_qr(Y)
             AY = apply_A(Y)
             Hred = _inner(Y, AY)
             Hred = (Hred + Hred.conj().swapaxes(1, 2)) / 2
             theta, C = jnp.linalg.eigh(Hred)
-            X = _rotate(C, Y)
-            AX_new = _rotate(C, AY)
-            theta = theta.real
+            Xn = _rotate(C, Y)
+            AXn = _rotate(C, AY)
+            theta = theta.real.astype(ritz0.dtype)
+        return (Xn, AXn, theta)
+
+    X, AX_new, theta = jax.lax.fori_loop(0, n_cycles, one_cycle,
+                                         (X, AX0, ritz0))
 
     R = AX_new - theta[:, :, None].astype(X.dtype) * X
     res = jnp.linalg.norm(R, axis=-1)

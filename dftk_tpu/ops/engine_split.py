@@ -393,7 +393,8 @@ def apply_local_sandwich(x, pf: "PrunedFFT", M, kspin, precision=None):
     return cdft_axis(y, pf.Fb[2], 2, prec)     # [k,nb,m1,m2,m3,2]
 
 
-def compact_filter_ops(ham: Ham, volume, precision=None, use_pallas=None):
+def compact_filter_ops(ham: Ham, volume, precision=None, use_pallas=None,
+                       filter_precisions=None):
     """(enter, leave, apply_c) for a compact-cube-RESIDENT Chebyshev filter.
 
     The sphere<->compact placement gather costs 3.4 ms of the 8.6 ms Si54
@@ -417,19 +418,38 @@ def compact_filter_ops(ham: Ham, volume, precision=None, use_pallas=None):
     Requires a pruned-FFT basis and no mGGA Vtau (DivAgrad falls back to
     the sphere apply).
 
-    use_pallas (default: auto = running on TPU): route the local chain
-    through the fused Pallas kernel (kernels/fused_filter.py) with a
-    Z-MAJOR resident layout - the F3 axis GEMM then directly produces the
-    kernel's input layout, so the whole local apply runs with ZERO HBM
-    transposes (round 3's sandwich path paid two full-slab transposes and
-    a 67 MB M(z,y) stream per apply).  The entered representation differs
-    between the two paths; enter/leave/apply_c are only valid together.
+    filter_precisions: optional tuple of precision names; returns
+    (enter, leave, [apply_1, ...]) - one apply per precision, all sharing
+    the SAME placement/representation and ONE f32-built sandwich M (only
+    the per-apply contractions carry the reduced precision).  Powers the
+    mixed bf16/f32 Chebyshev schedule (chefsi_step apply_filter_last).
+
+    use_pallas (default: off; env DFTK_TPU_PALLAS_FILTER=1 opts in): route
+    the local chain through the fused Pallas kernel
+    (kernels/fused_filter.py) with a Z-MAJOR resident layout - the F3 axis
+    GEMM then directly produces the kernel's input layout, zero HBM
+    transposes.  Measured on v5e Si54 it LOSES to the XLA path below
+    (slope-timed whole apply 3.37 ms f32 / 1.48 ms bf16 vs 2.87 / 0.90 -
+    XLA already keeps the chain fused and its layout assignment beats the
+    hand-chosen one), and its setup does host-side index math, so it is
+    only usable when ham holds CONCRETE arrays (standalone filters, not
+    inside a jitted SCF step).  Kept for kernel experimentation.  The
+    entered representation differs between the two paths;
+    enter/leave/apply_c are only valid together.
     """
+    import os
     from ..kernels.dft_matmul import as_precision, split_bf16
     t32 = as_precision(precision) == "tensor32"
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu" \
-            and ham.fft_pruned is not None and ham.Vtau is None
+        use_pallas = (os.environ.get("DFTK_TPU_PALLAS_FILTER", "0")
+                      not in ("0", "false")
+                      and jax.default_backend() == "tpu"
+                      and ham.fft_pruned is not None and ham.Vtau is None
+                      and not isinstance(ham.kin, jax.core.Tracer))
+    if filter_precisions is not None:
+        assert not t32 and all(p != "tensor32" for p in filter_precisions), \
+            "tensor32 needs pre-split operands; use precision='tensor32'"
+        use_pallas = False
     if use_pallas:
         return _compact_filter_ops_fused(ham, volume, precision)
     pf = ham.fft_pruned
@@ -458,7 +478,8 @@ def compact_filter_ops(ham: Ham, volume, precision=None, use_pallas=None):
     # sandwich matrices always built at full f32 accuracy; the (cheap)
     # per-apply contraction carries the precision mode
     M = build_sandwich(pf, ham.V,
-                       precision="highest" if t32 else precision)
+                       precision="highest" if (t32 or filter_precisions)
+                       else precision)
     if t32:
         M = split_bf16(M)
 
@@ -472,16 +493,19 @@ def compact_filter_ops(ham: Ham, volume, precision=None, use_pallas=None):
         out = out * ham.mask[:, None, :, None]
         return jnp.concatenate([out[..., 0], out[..., 1]], axis=-1)
 
-    def apply_c(flat):
+    def apply_c(flat, _prec=precision):
         x = flat.reshape(flat.shape[:2] + m_shape + (2,))
-        y = apply_local_sandwich(x, pf, M, ham.kspin, precision=precision)
+        y = apply_local_sandwich(x, pf, M, ham.kspin, precision=_prec)
         out = y.reshape(flat.shape) + kin_c[:, None, :, None] * flat
         if P_c is not None:
-            Pd = _pdag_psi(P_c, flat, precision=precision)
+            Pd = _pdag_psi(P_c, flat, precision=_prec)
             DPd = jnp.einsum("pq,knqc->knpc", ham.D, Pd)
-            out = out + _p_coeff(P_c, DPd, precision=precision)
+            out = out + _p_coeff(P_c, DPd, precision=_prec)
         return out * mask_c[:, None, :, None]
 
+    if filter_precisions is not None:
+        return enter, leave, [partial(apply_c, _prec=p)
+                              for p in filter_precisions]
     return enter, leave, apply_c
 
 
@@ -1153,7 +1177,9 @@ def self_consistent_field_split(basis, tol=2e-5, maxiter=60, n_bands=None,
             " (like the reference, terms/exact_exchange.jl:52)"
         from .exx_split import (apply_exchange_split, apply_ace_split,
                                 build_ace_split, exchange_energy_split)
-        exx_kernel = jnp.asarray(terms.exx_kernel_np, dtype=dtype)
+        # Gamma-only here (assert above): take the single q=0 kernel cube
+        # out of the [nq, n1,n2,n3] stack (ops/coulomb.py:exx_q_kernels)
+        exx_kernel = jnp.asarray(terms.exx_kernel_np[0], dtype=dtype)
     if has_hubbard:
         from .hubbard import (apply_hubbard_split,
                               build_hubbard_projectors,
@@ -1210,7 +1236,7 @@ def self_consistent_field_split(basis, tol=2e-5, maxiter=60, n_bands=None,
     # the program as constants, which blows up the serialized HLO (remote
     # compile services reject it) and bloats the executable.
     def scf_step(sd_, kin2_, mask2_, rho_in, tau_in, U_in, diagtol,
-                 exx_occ_in=None, _cycles=None):
+                 exx_occ_in=None, n_cycles_in=None, n_exact_in=None):
         # V applied RAW pointwise (like the complex driver and the
         # reference): symmetrizing V was measured to break ABINIT golden
         # parity at ~6e-4 for SCAN (see scf/driver.py NOTE)
@@ -1254,22 +1280,41 @@ def self_consistent_field_split(basis, tol=2e-5, maxiter=60, n_bands=None,
                 x(u) for x in extra_applies) * mask2_[:, None, :]
         if eigensolver == "chefsi":
             from .eigen.chefsi import chefsi_step
-            A_fast, wrap = None, None
+            A_fast, A_last, wrap = None, None, None
+            mixed = filter_precision == "mixed"
             if (compact_filter and ham.fft_pruned is not None
                     and ham.Vtau is None and not extra_applies):
                 # compact-cube-resident filter: placement paid once per
                 # filter, not once per apply (compact_filter_ops docstring)
-                enter, leave, A_fast = compact_filter_ops(
-                    ham, volume, precision=filter_precision)
+                if mixed:
+                    # bf16 filter for every cycle but the last, exact f32
+                    # for the last: bf16 speed without the bf16 residual
+                    # floor (chefsi_step apply_filter_last docstring)
+                    enter, leave, (A_fast, A_last) = compact_filter_ops(
+                        ham, volume,
+                        filter_precisions=("default", "highest"))
+                else:
+                    enter, leave, A_fast = compact_filter_ops(
+                        ham, volume, precision=filter_precision)
                 wrap = (enter, leave)
             elif filter_precision is not None and not extra_applies:
-                A_fast = lambda u: apply_H_split(
-                    ham, u, fft_size, volume, band_chunk=band_chunk,
-                    precision=filter_precision)
+                if mixed:
+                    A_fast = lambda u: apply_H_split(
+                        ham, u, fft_size, volume, band_chunk=band_chunk,
+                        precision="default")
+                    A_last = A
+                else:
+                    A_fast = lambda u: apply_H_split(
+                        ham, u, fft_size, volume, band_chunk=band_chunk,
+                        precision=filter_precision)
             res = chefsi_step(A, U_in, mask2_, degree=chebyshev_degree,
                               n_conv=mult * n_bands,
-                              cycles=_cycles or chefsi_cycles,
-                              apply_filter=A_fast, band_chunk=band_chunk,
+                              cycles=(n_cycles_in if n_cycles_in is not None
+                                      else chefsi_cycles),
+                              apply_filter=A_fast, apply_filter_last=A_last,
+                              n_exact_last=(n_exact_in if n_exact_in
+                                            is not None else 1),
+                              band_chunk=band_chunk,
                               csplit=not paired, filter_wrap=wrap)
         elif paired:
             res = lobpcg(A, U_in, kin2_, mask2_, tol=diagtol,
@@ -1317,19 +1362,17 @@ def self_consistent_field_split(basis, tol=2e-5, maxiter=60, n_bands=None,
                 energies)
 
     # CheFSI finisher (autopilot): when the density residual stalls, the
-    # fixed filter degree/cycle count is the accuracy ceiling -- lazily
-    # compile a deeper variant and switch to it
-    _step_cache = {}
-    _raw_step = scf_step
-
-    def _get_step(cycles):
-        if cycles not in _step_cache:
-            _step_cache[cycles] = jax.jit(partial(_raw_step, _cycles=cycles))
-        return _step_cache[cycles]
-
+    # fixed filter cycle count is the accuracy ceiling -- deepen it.  The
+    # cycle count is a TRACED fori_loop trip count inside chefsi_step, so
+    # boosting changes an integer argument, NOT the compiled program (the
+    # old recompile-per-boost was measured at 100-200 s at Si64 scale).
     _scf_step = jax.jit(scf_step)
-    scf_step = lambda rho_in, tau_in, U_in, diagtol, exx_occ=None: _scf_step(
-        sd, kin2, mask2, rho_in, tau_in, U_in, diagtol, exx_occ)
+    scf_step = (lambda rho_in, tau_in, U_in, diagtol, exx_occ=None,
+                n_cyc=None, n_exact=1: _scf_step(
+                    sd, kin2, mask2, rho_in, tau_in, U_in, diagtol, exx_occ,
+                    jnp.asarray(n_cyc if n_cyc is not None else chefsi_cycles,
+                                dtype=jnp.int32),
+                    jnp.asarray(n_exact, dtype=jnp.int32)))
     if use_kerker is None:
         use_kerker = model.temperature > 0
     # autopilot (VERDICT #10): insulating systems of a few dozen atoms or
@@ -1386,18 +1429,24 @@ def self_consistent_field_split(basis, tol=2e-5, maxiter=60, n_bands=None,
         exx_occ = jnp.broadcast_to(exx_occ, (basis.n_kpoints, nbr))
     for it in range(maxiter):
         # CheFSI finisher: drho stalling across 3 iterations means the
-        # filter depth is the accuracy ceiling -- deepen it (one extra
-        # compile per boost, capped)
+        # filter depth is the accuracy ceiling -- deepen it (a traced trip
+        # count: no recompile)
         if (eigensolver == "chefsi" and it >= 3 and not converged
                 and cycles_cur < chefsi_cycles + 4):
             d3 = [h[1] for h in history[-3:]]
             if len(d3) == 3 and d3[2] > 0.7 * d3[0]:
                 cycles_cur += 2
-                boosted = _get_step(cycles_cur)
-                step_fn = lambda r_, tau_, U_, t_, e_=None, _b=boosted: _b(
-                    sd, kin2, mask2, r_, tau_, U_, t_, e_)
+        # mixed-filter schedule (both counts are traced -> no recompile):
+        # all-bf16 cycles while the density residual is far out, all-exact
+        # once it approaches the bf16 filter's measured ~7e-4 floor
+        if filter_precision == "mixed":
+            drho_last = history[-1][1] if history else np.inf
+            n_exact_cur = 99 if drho_last < 5e-3 else 0
+        else:
+            n_exact_cur = 1
         (rho_out, tau_out, U, eigvals, occ, epsF,
-         energies) = step_fn(rho, tau, U, diagtol, exx_occ)
+         energies) = step_fn(rho, tau, U, diagtol, exx_occ, cycles_cur,
+                             n_exact_cur)
         if has_exx or has_hubbard:
             exx_occ = occ
         E_const = {"Ewald": terms.E_ewald,

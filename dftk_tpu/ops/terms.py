@@ -168,8 +168,13 @@ class Hubbard:
 @dataclasses.dataclass(frozen=True)
 class ExactExchange:
     """(Screened) Hartree-Fock exchange (reference terms/exact_exchange.jl):
-    E = -1/2 sum_nm (f_n f_m / filled) <nm|kernel|mn>.  Gamma-point only,
-    like the reference; kernel from ops/coulomb.py."""
+    E = -1/2 sum_nm (f_n f_m / filled) <nm|kernel|mn>, kernel from
+    ops/coulomb.py.  Works at Gamma (the reference's only mode,
+    exact_exchange.jl:52) AND on unreduced uniform k-point grids
+    (symmetries=False) via shifted G+q kernels -- the k-point
+    generalisation the reference names a TODO (exact_exchange.jl:31);
+    complex driver only, validated by exact supercell folding
+    (tests/test_exx_kgrid.py)."""
     scaling_factor: float = 1.0
     kernel: object = None
 

@@ -80,7 +80,7 @@ def test_ace_matches_uncompressed():
                                   jnp.asarray(b.G_cube_cart),
                                   m.unit_cell_volume)
     ham = hamops.build_ham(b.data, b.terms.data, V,
-                           exx_kernel=jnp.asarray(b.terms.exx_kernel_np),
+                           exx_kernel=jnp.asarray(b.terms.exx_kernel_np[0]),
                            exx_psi=psi, exx_occ=occ)
     Xi = build_ace(ham, b.fft_size, m.unit_cell_volume)
     d = jnp.abs(apply_ace(Xi, psi)

@@ -53,7 +53,7 @@ def test_split_exchange_energy_same_state():
     U = jnp.concatenate([psi.real, psi.imag], axis=-1)
     occ = r_c.occupation
     E_s = exchange_energy_split(
-        jnp.asarray(b.terms.exx_kernel_np), U,
+        jnp.asarray(b.terms.exx_kernel_np[0]), U,
         occ / b.model.filled_occupation, occ, jnp.asarray(b.kweights),
         jnp.asarray(b.Gidx_np), jnp.asarray(b.mask_np, dtype=U.dtype),
         b.fft_size, b.model.unit_cell_volume)
@@ -85,7 +85,7 @@ def test_split_ace_exact_on_span_and_bare_parity():
     U = r["U"]
     occ = r["occupation"]
     f_norm = occ / b.model.filled_occupation
-    kern = jnp.asarray(b.terms.exx_kernel_np)
+    kern = jnp.asarray(b.terms.exx_kernel_np[0])
     Gidx = jnp.asarray(b.Gidx_np)
     mask = jnp.asarray(b.mask_np, dtype=U.dtype)
     xi = build_ace_split(kern, U, f_norm, Gidx, mask, b.fft_size,
