@@ -56,6 +56,8 @@ class PlaneWaveBasis:
     use_symmetries_for_kpoint_reduction: bool = True
 
     def __post_init__(self):
+        from .config import maybe_enable_compile_cache
+        maybe_enable_compile_cache()   # resolved-backend-aware, once
         model = self.model
         self.kgrid = as_kgrid(self.kgrid if self.kgrid is not None else (1, 1, 1))
         if self.symmetries_respect_rgrid is None:

@@ -30,13 +30,31 @@ jax.config.update("jax_default_matmul_precision", "highest")
 # repeat runs to milliseconds (measured 1.74 s -> 0.11 s across processes
 # on the tunneled TPU backend).  Disable with DFTK_TPU_COMPILE_CACHE=0 or
 # point it elsewhere with DFTK_TPU_COMPILE_CACHE=<dir>.
-_cache = os.environ.get("DFTK_TPU_COMPILE_CACHE", "")
-if _cache not in ("0", "false", "False") \
-        and "cpu" not in os.environ.get("JAX_PLATFORMS", "").lower():
-    # (skipped for explicit CPU runs: XLA:CPU AOT cache loads re-check
-    # host features and warn loudly; the win is on the accelerator side)
+#
+# Deferred to first basis construction so the decision uses the RESOLVED
+# backend (a default CPU backend with JAX_PLATFORMS unset must also skip:
+# XLA:CPU AOT cache loads re-check host features and warn loudly, and the
+# win is on the accelerator side), and so importing dftk_tpu does not
+# write to ~/.cache as a side effect.
+_cache_configured = False
+
+
+def maybe_enable_compile_cache():
+    global _cache_configured
+    if _cache_configured:
+        return
+    _cache_configured = True
+    cache = os.environ.get("DFTK_TPU_COMPILE_CACHE", "")
+    if cache in ("0", "false", "False"):
+        return
+    try:
+        backend = jax.default_backend()
+    except Exception:   # no backend available at all
+        return
+    if backend == "cpu":
+        return
     jax.config.update("jax_compilation_cache_dir",
-                      _cache or os.path.expanduser("~/.cache/dftk_tpu_xla"))
+                      cache or os.path.expanduser("~/.cache/dftk_tpu_xla"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 

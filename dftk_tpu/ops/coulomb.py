@@ -382,13 +382,21 @@ class _BvkShim:
         self.G_cube_cart = np.einsum("ab,xyzb->xyza", m.recip_lattice, G)
 
 
+def _wrap_frac(x):
+    """Fractional coordinates wrapped to [0, 1) rounded to 8 digits, with
+    values straddling the 0/1 seam (>= 1 - 1e-8) folded back to 0 so that
+    -1e-9 and +1e-9 dedup to the same point."""
+    w = np.round(np.mod(np.asarray(x, dtype=float), 1.0), 8)
+    return np.where(w >= 1.0 - 1e-8, 0.0, w)
+
+
 def _infer_kgrid_dims(kc_spatial):
     """Diagonal Monkhorst-Pack dims (n1, n2, n3) from the spatial k-point
     fractional coordinates; None if the set is not a full diagonal grid."""
     nk = len(kc_spatial)
     dims = []
     for d in range(3):
-        vals = np.unique(np.round(np.mod(kc_spatial[:, d], 1.0), 8))
+        vals = np.unique(_wrap_frac(kc_spatial[:, d]))
         dims.append(len(vals))
         # the axis values must be an equispaced 1/n_d grid (possibly shifted)
         if len(vals) > 1:
@@ -427,8 +435,21 @@ def exx_q_kernels(kernel, basis):
     kc = np.asarray(basis.kcoords_spin, dtype=float)         # [nk, 3] frac
     nk = len(kc)
     # unique spatial k-points (collinear spin duplicates the list)
-    kc_sp = np.unique(np.round(np.mod(kc, 1.0), 8), axis=0)
+    kc_sp = np.unique(_wrap_frac(kc), axis=0)
     nk_spatial = len(kc_sp)
+
+    # the generator sum over k' is only complete on the FULL (unreduced)
+    # uniform grid: a symmetry-reduced set -- even one with equal weights,
+    # e.g. time-reversal-only reduction -- silently misses folded-out k'
+    # points.  Require a complete diagonal Monkhorst-Pack set (possibly
+    # shifted); this also guarantees the BvK volume below is right.
+    dims = _infer_kgrid_dims(kc_sp) if nk_spatial > 1 else (1, 1, 1)
+    if dims is None:
+        raise ValueError(
+            "k-grid ExactExchange needs the full (unreduced) diagonal "
+            f"Monkhorst-Pack k-point set; the {nk_spatial} spatial k-points "
+            "stored in the basis do not form a complete grid (build the "
+            "basis with symmetries=False)")
 
     # ---- unique difference set q = k - k' ---------------------------------
     # UNWRAPPED differences of the stored representatives: the periodic
@@ -447,11 +468,6 @@ def exx_q_kernels(kernel, basis):
     Gf = np.asarray(basis.G_cube, dtype=float)                # integer freqs
 
     if isinstance(kernel, WignerSeitzTruncatedCoulomb):
-        dims = _infer_kgrid_dims(kc_sp)
-        if dims is None:
-            raise NotImplementedError(
-                "WignerSeitzTruncatedCoulomb exchange needs a diagonal "
-                "Monkhorst-Pack k-grid (BvK supercell construction)")
         if dims == (1, 1, 1):
             return (kernel.fourier_cube(basis)[None], iq)
         lat_bvk = np.asarray(basis.model.lattice, float) * np.array(dims)
@@ -468,9 +484,59 @@ def exx_q_kernels(kernel, basis):
         # exact Gamma-only parity: same cube, same regularisation
         return np.asarray(kernel_fourier_cube(kernel, basis))[None], iq
 
+    # the kernel's configured singularity regularisation, if any (long-range
+    # kernels: Coulomb, LongRangeCoulomb); the legacy v0 override wins
+    reg = getattr(kernel, "regularization", None)
+    if getattr(kernel, "v0", None) is not None:
+        reg = ReplaceSingularity(kernel.v0)
+    dc = _bvk_dc_value(kernel, reg, basis, dims) if reg is not None else None
+
     vq = np.empty((nq,) + tuple(basis.fft_size))
     for a, q in enumerate(uniq):
         Gpq = np.einsum("ab,xyzb->xyza", B, Gf + q)
         Gsq = np.sum(Gpq * Gpq, axis=-1)
-        vq[a] = kernel.fourier(Gsq, vol_bvk)
+        if dc is not None and np.all(np.abs(q) < 1e-9):
+            # the only singular element across all cubes is G+q = 0 in the
+            # q = 0 cube; it carries the kernel's CONFIGURED regularisation
+            # evaluated at the BvK cell (not the legacy spherical-cell
+            # estimate), so the DC convention is continuous between
+            # kgrid=(1,1,1) and larger grids
+            out = np.asarray(kernel.eval_fourier(_safe(Gsq)), dtype=float)
+            vq[a] = np.where(Gsq > 1e-14, out, dc)
+        else:
+            vq[a] = kernel.fourier(Gsq, vol_bvk)
     return vq, iq
+
+
+def _bvk_dc_value(kernel, reg, basis, dims):
+    """Regularised G+q = 0 element for k-grid exact exchange.
+
+    ProbeCharge (Gygi-Baldereschi / Massidda) at the Born-von-Karman level:
+    the probe sum runs over ALL shifted grids {G + q} for q in the wrapped
+    q-difference grid -- together these are exactly the BvK reciprocal
+    lattice -- and the integral is normalised by the BvK reciprocal-cell
+    volume.  At dims == (1,1,1) this reduces to ProbeCharge.dc_value.
+    """
+    if isinstance(reg, ReplaceSingularity):
+        return float(reg.value)
+    if not isinstance(reg, ProbeCharge):
+        raise NotImplementedError(
+            f"{type(reg).__name__} regularization is not supported for "
+            "k-grid exact exchange; use ProbeCharge, ReplaceSingularity, "
+            "or a truncated kernel (WignerSeitz/SphericallyTruncated)")
+    alpha = reg.alpha if reg.alpha is not None else math.pi ** 2 / basis.Ecut
+    nq_grid = int(np.prod(dims))
+    vol_bvk = basis.model.unit_cell_volume * nq_grid
+    gamma_bvk = (2 * math.pi) ** 3 / vol_bvk
+    B = np.asarray(basis.model.recip_lattice, dtype=float)
+    Gf = np.asarray(basis.G_cube, dtype=float).reshape(-1, 3)
+    acc = 0.0
+    for i in range(dims[0]):
+        for j in range(dims[1]):
+            for k in range(dims[2]):
+                q = np.array([i / dims[0], j / dims[1], k / dims[2]])
+                Gsq = np.sum(((Gf + q) @ B.T) ** 2, axis=-1)
+                m = (Gsq > 1e-14) & (Gsq <= 2 * basis.Ecut)
+                acc += float(np.sum(kernel.eval_fourier(Gsq[m])
+                                    * np.exp(-alpha * Gsq[m])))
+    return kernel.probe_charge_integral(alpha) / gamma_bvk - acc

@@ -153,14 +153,23 @@ def chefsi_step(apply_A, X, mask, degree=8, lb=None, ub=None,
     idx = min(n_conv, nb - 1)
     enter, leave = filter_wrap if filter_wrap is not None else (None, None)
     two_filters = apply_filter_last is not apply_filter
+    # cycles may be traced (autopilot), but 0 cycles would return residuals
+    # pairing sorted Ritz values with the unrotated X - meaningless
+    if isinstance(cycles, int) and cycles < 1:
+        raise ValueError("chefsi_step needs cycles >= 1")
     n_cycles = jnp.asarray(cycles, dtype=jnp.int32)
     n_exact = jnp.asarray(n_exact_last, dtype=jnp.int32)
 
-    # initial (sorted) Ritz estimates for the first damping window
-    AX0 = apply_A(X)
-    ritz0 = jnp.einsum("kng,kng->kn", X.conj(), AX0).real \
-        / jnp.maximum(jnp.einsum("kng,kng->kn", X.conj(), X).real, 1e-30)
-    ritz0 = jnp.sort(ritz0, axis=1)
+    if lb is None:
+        # initial (sorted) Ritz estimates for the first damping window;
+        # skipped when the caller supplies lb (saves one full H apply)
+        AX0 = apply_A(X)
+        ritz0 = jnp.einsum("kng,kng->kn", X.conj(), AX0).real \
+            / jnp.maximum(jnp.einsum("kng,kng->kn", X.conj(), X).real, 1e-30)
+        ritz0 = jnp.sort(ritz0, axis=1)
+    else:
+        AX0 = jnp.zeros_like(X)          # carry shape only; cycles >= 1
+        ritz0 = jnp.zeros((X.shape[0], nb), dtype=jnp.real(X).dtype)
 
     def one_cycle(i, carry):
         X, _AX, theta = carry

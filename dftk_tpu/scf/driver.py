@@ -221,10 +221,18 @@ def self_consistent_field(
         # k-point set must be an unreduced (symmetries=False) uniform grid.
         exx_kernel = jnp.asarray(terms.exx_kernel_np[0])
         if basis.n_kpoints != nspin:
-            w = basis.kweights_irr
-            assert np.allclose(w, w[0]), \
-                "k-grid ExactExchange needs an unreduced uniform k-point " \
-                "set (build the basis with symmetries=False)"
+            # the generator sum over k' is only complete on the FULL
+            # reducible grid; equal weights are NOT sufficient (a TR-only
+            # reduced grid has every weight 1/2N and still misses k'
+            # points).  Require the stored spatial k-set to be a complete
+            # diagonal Monkhorst-Pack grid.
+            from ..ops.coulomb import _infer_kgrid_dims, _wrap_frac
+            kc_sp = np.unique(_wrap_frac(np.asarray(basis.kcoords_spin)),
+                              axis=0)
+            dims = _infer_kgrid_dims(kc_sp)
+            assert dims is not None, \
+                "k-grid ExactExchange needs the full (unreduced) uniform " \
+                "k-point set (build the basis with symmetries=False)"
             exx_kernel = jnp.asarray(terms.exx_kernel_np)
             exx_iq = jnp.asarray(terms.exx_iq_np)
     fft_size = basis.fft_size
