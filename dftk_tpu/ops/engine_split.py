@@ -1105,7 +1105,7 @@ def self_consistent_field_split(basis, tol=2e-5, maxiter=60, n_bands=None,
                                 is_converged="energy",
                                 eigensolver="lobpcg", chebyshev_degree=10,
                                 chefsi_cycles=1, mixing_eps_r=None,
-                                band_chunk=None, filter_precision=None,
+                                band_chunk=None, filter_precision="mixed",
                                 mesh=None, band_repr="complex",
                                 rho0=None, U0=None, adaptive_bands=None,
                                 occupation_threshold=1e-6,
@@ -1116,6 +1116,17 @@ def self_consistent_field_split(basis, tol=2e-5, maxiter=60, n_bands=None,
     vectors with the J-adapted eigensolvers (ops/eigen/csplit.py) - ONE
     H apply per physical band; "paired" uses the round-1 doubled-real
     space (2 nb real vectors, plain real eigensolvers, 2 applies/band).
+
+    filter_precision (CheFSI only): matmul precision of the Chebyshev
+    filter applies.  The DEFAULT is "mixed" - the production lever: 1-pass
+    bf16 filter cycles (measured 0.90 ms vs 2.87 ms f32 for the whole
+    compact Si54 apply, 3.2x) while the density residual is far out, exact
+    f32 cycles to finish, and Rayleigh-Ritz/residuals ALWAYS on the exact
+    apply, so the converged result is the f32 one (A/B-pinned by
+    tests/test_engine_split.py::test_chefsi_mixed_filter_default_ab).
+    "highest" forces every filter cycle exact; None inherits apply_H's
+    default (exact).  On CPU backends all settings are numerically
+    identical (no bf16 matmul passes).
 
     Returns a dict (energies, eigenvalues, rho, U, ...).
     """
@@ -1172,14 +1183,22 @@ def self_consistent_field_split(basis, tol=2e-5, maxiter=60, n_bands=None,
             "ExactExchange/Hubbard in the split engine need the csplit band "
             "representation (band_repr='complex')")
     if has_exx:
-        assert basis.n_kpoints == nspin, \
-            "ExactExchange currently requires Gamma-point-only calculations" \
-            " (like the reference, terms/exact_exchange.jl:52)"
         from .exx_split import (apply_exchange_split, apply_ace_split,
                                 build_ace_split, exchange_energy_split)
-        # Gamma-only here (assert above): take the single q=0 kernel cube
-        # out of the [nq, n1,n2,n3] stack (ops/coulomb.py:exx_q_kernels)
-        exx_kernel = jnp.asarray(terms.exx_kernel_np[0], dtype=dtype)
+        exx_iq = None
+        exx_kspin = None
+        if basis.n_kpoints == nspin:
+            # Gamma: k-diagonal exchange with the single q=0 kernel cube
+            # out of the [nq, n1,n2,n3] stack (ops/coulomb.py:exx_q_kernels)
+            exx_kernel = jnp.asarray(terms.exx_kernel_np[0], dtype=dtype)
+        else:
+            # k-grid exchange on chip (beyond the reference's Gamma-only
+            # operator, src/terms/exact_exchange.jl:31,52): shifted kernel
+            # stack + q index map; completeness of the stored k-grid is
+            # guarded at term instantiation (exx_q_kernels)
+            exx_kernel = jnp.asarray(terms.exx_kernel_np, dtype=dtype)
+            exx_iq = jnp.asarray(terms.exx_iq_np)
+            exx_kspin = jnp.asarray(basis.kspin)
     if has_hubbard:
         from .hubbard import (apply_hubbard_split,
                               build_hubbard_projectors,
@@ -1251,17 +1270,21 @@ def self_consistent_field_split(basis, tol=2e-5, maxiter=60, n_bands=None,
                                     band_chunk=band_chunk)
         extra_applies = []
         if has_exx:
-            f_norm = exx_occ_in / model.filled_occupation
+            # generator weights w_k' f/filled (w == 1 at Gamma), mirroring
+            # the complex driver's exx_occ wiring
+            f_gen = (sd_.kweights[:, None] * exx_occ_in
+                     / model.filled_occupation)
             if use_ace:
                 # compress the Fock operator once per step (two GEMMs per
                 # eigensolver matvec instead of nx Poisson solves)
-                xi = build_ace_split(exx_kernel, U_in, f_norm, sd_.Gidx,
-                                     sd_.mask, fft_size, volume)
+                xi = build_ace_split(exx_kernel, U_in, f_gen, sd_.Gidx,
+                                     sd_.mask, fft_size, volume,
+                                     iq=exx_iq, kspin=exx_kspin)
                 extra_applies.append(lambda u: apply_ace_split(xi, u))
             else:
                 extra_applies.append(lambda u: apply_exchange_split(
-                    exx_kernel, U_in, f_norm, u, sd_.Gidx, sd_.mask,
-                    fft_size, volume))
+                    exx_kernel, U_in, f_gen, u, sd_.Gidx, sd_.mask,
+                    fft_size, volume, iq=exx_iq, kspin=exx_kspin))
         if has_hubbard:
             occ_hub = exx_occ_in if exx_occ_in is not None else \
                 jnp.zeros(U_in.shape[:2], dtype=U_in.dtype)
@@ -1344,8 +1367,10 @@ def self_consistent_field_split(basis, tol=2e-5, maxiter=60, n_bands=None,
         energies.update(psi_energies_split(sd_, res.X, occ))
         if has_exx:
             energies["ExactExchange"] = exchange_energy_split(
-                exx_kernel, res.X, occ / model.filled_occupation, occ,
-                sd_.kweights, sd_.Gidx, sd_.mask, fft_size, volume)
+                exx_kernel, res.X,
+                sd_.kweights[:, None] * occ / model.filled_occupation, occ,
+                sd_.kweights, sd_.Gidx, sd_.mask, fft_size, volume,
+                iq=exx_iq, kspin=exx_kspin)
         if has_hubbard:
             nor, noi = occupation_matrix_split(
                 hub_Phi, res.X, occ, sd_.kweights, sd_.kspin, nspin)

@@ -101,6 +101,32 @@ def test_chefsi_filter_precision_path():
     assert abs(r1["energies"]["total"] - r2["energies"]["total"]) < 1e-7
 
 
+def test_chefsi_mixed_filter_default_ab():
+    """A/B pin of the production default: filter_precision defaults to
+    "mixed" (1-pass bf16 filter cycles + exact finish) and converges to the
+    SAME energy as the all-exact "highest" filter.
+
+    On a CPU backend the bf16/f32 matmul settings are numerically identical,
+    so this pins the mixed SCHEDULE (traced per-iteration bf16/exact cycle
+    split, lax.cond filter selection); the bf16 NUMERICS A/B runs on the
+    real chip and is recorded as a driver artifact (AB_FILTER_r05.json,
+    tools/run_ab_filter.py - Si64: identical refined energies)."""
+    import inspect
+    from testcases import make_silicon_model
+    sig = inspect.signature(self_consistent_field_split)
+    assert sig.parameters["filter_precision"].default == "mixed"
+    m = make_silicon_model()
+    b = dftk.PlaneWaveBasis(m, Ecut=6.0, kgrid=(1, 1, 1))
+    kw = dict(tol=1e-8, maxiter=40, eigensolver="chefsi",
+              chebyshev_degree=8, chefsi_cycles=2, dtype=jnp.float32)
+    r_mixed = self_consistent_field_split(b, **kw)      # default: "mixed"
+    r_exact = self_consistent_field_split(b, filter_precision="highest",
+                                          **kw)
+    assert r_mixed["converged"] and r_exact["converged"]
+    assert abs(r_mixed["energies"]["total"]
+               - r_exact["energies"]["total"]) < 1e-6
+
+
 def test_pallas_fused_local_matches_xla(si_setup):
     """The fused Pallas local-apply kernel (interpret mode on CPU) equals
     the XLA dot_general chain bit-for-bit at f64."""

@@ -95,6 +95,99 @@ def test_exx_q_kernel_table():
     assert vq.shape[0] == 9
 
 
+def _realify(psi):
+    import jax.numpy as jnp
+    return jnp.concatenate([psi.real, psi.imag], axis=-1)
+
+
+def test_exx_kgrid_split_energy_same_state():
+    """Split-engine k-grid exchange energy vs the complex engine on the
+    SAME converged state: pure algebra parity of the shifted-kernel
+    generator scan (exx_split.apply_exchange_split iq path)."""
+    import jax.numpy as jnp
+    from dftk_tpu.ops.exx_split import exchange_energy_split
+    He = _he()
+    prim = _hf_model(np.diag([L, L, L]), [He], [np.array([.5, .5, .5])])
+    b = dftk.PlaneWaveBasis(prim, Ecut=ECUT, kgrid=(2, 1, 1),
+                            fft_size=(16, 16, 16))
+    r_c = dftk.self_consistent_field(b, tol=1e-10, maxiter=60,
+                                     is_converged="energy")
+    U = _realify(r_c.psi)
+    occ = r_c.occupation
+    w = jnp.asarray(b.kweights)
+    E_s = exchange_energy_split(
+        jnp.asarray(b.terms.exx_kernel_np), U,
+        w[:, None] * occ / b.model.filled_occupation, occ, w,
+        jnp.asarray(b.Gidx_np), jnp.asarray(b.mask_np, dtype=U.dtype),
+        b.fft_size, b.model.unit_cell_volume,
+        iq=jnp.asarray(b.terms.exx_iq_np), kspin=jnp.asarray(b.kspin))
+    assert abs(float(E_s) - float(r_c.energies["ExactExchange"])) < 1e-10
+
+
+def test_exx_kgrid_split_ace_exact_on_span():
+    """k-grid ACE (per-k compression of the cross-k generator sum)
+    reproduces the bare shifted-kernel operator on the generating span."""
+    import jax.numpy as jnp
+    from dftk_tpu.ops.exx_split import (apply_ace_split,
+                                        apply_exchange_split,
+                                        build_ace_split)
+    from dftk_tpu.ops.engine_split import self_consistent_field_split
+    He = _he()
+    prim = _hf_model(np.diag([L, L, L]), [He], [np.array([.5, .5, .5])])
+    b = dftk.PlaneWaveBasis(prim, Ecut=ECUT, kgrid=(2, 1, 1),
+                            fft_size=(16, 16, 16))
+    r = self_consistent_field_split(b, tol=1e-10, maxiter=60,
+                                    dtype=jnp.float64,
+                                    eigensolver="lobpcg",
+                                    is_converged="energy")
+    U, occ = r["U"], r["occupation"]
+    w = jnp.asarray(b.kweights)
+    f_gen = w[:, None] * occ / b.model.filled_occupation
+    kern = jnp.asarray(b.terms.exx_kernel_np)
+    iq = jnp.asarray(b.terms.exx_iq_np)
+    kspin = jnp.asarray(b.kspin)
+    Gidx = jnp.asarray(b.Gidx_np)
+    mask = jnp.asarray(b.mask_np, dtype=U.dtype)
+    args = (Gidx, mask, b.fft_size, b.model.unit_cell_volume)
+    xi = build_ace_split(kern, U, f_gen, *args, iq=iq, kspin=kspin)
+    d = jnp.abs(apply_ace_split(xi, U)
+                - apply_exchange_split(kern, U, f_gen, U, *args,
+                                       iq=iq, kspin=kspin)).max()
+    assert float(d) < 1e-9
+
+
+def test_exx_kgrid_split_supercell_folding():
+    """The supercell-folding validation run ENTIRELY through the split
+    (chip) engine: HF on the primitive cell with a 2-point k-grid ==
+    Gamma HF of the doubled supercell, per unit cell (f64 csplit repr)."""
+    import jax.numpy as jnp
+    from dftk_tpu.ops.engine_split import self_consistent_field_split
+    He = _he()
+    prim = _hf_model(np.diag([L, L, L]), [He], [np.array([.5, .5, .5])])
+    bp = dftk.PlaneWaveBasis(prim, Ecut=ECUT, kgrid=(2, 1, 1),
+                             fft_size=(16, 16, 16))
+    rp = self_consistent_field_split(bp, tol=1e-10, maxiter=60,
+                                     dtype=jnp.float64,
+                                     eigensolver="lobpcg",
+                                     is_converged="energy")
+    assert rp["converged"]
+
+    sc = _hf_model(np.diag([2 * L, L, L]), [He, He],
+                   [np.array([.25, .5, .5]), np.array([.75, .5, .5])])
+    bs = dftk.PlaneWaveBasis(sc, Ecut=ECUT, kgrid=(1, 1, 1),
+                             fft_size=(32, 16, 16))
+    rs = self_consistent_field_split(bs, tol=1e-10, maxiter=60,
+                                     dtype=jnp.float64,
+                                     eigensolver="lobpcg",
+                                     is_converged="energy")
+    assert rs["converged"]
+    E_prim = rp["energies"]["total"]
+    E_sc_per_cell = rs["energies"]["total"] / 2
+    assert abs(E_prim - E_sc_per_cell) < 1e-7, (E_prim, E_sc_per_cell)
+    assert abs(rp["energies"]["ExactExchange"]
+               - rs["energies"]["ExactExchange"] / 2) < 3e-5
+
+
 def test_exx_q_kernels_gamma_parity():
     """nq == 1 at Gamma and the cube equals the Gamma-only construction."""
     from dftk_tpu.ops.coulomb import kernel_fourier_cube
