@@ -2,11 +2,13 @@
 directory in CI, test/examples.jl) — catches example rot.
 
 Each entry = (script, output marker that only appears when the physics
-part actually ran to completion).  Everything here finishes in minutes on
-this container's CPU; the genuinely heavy scripts (phonons, SCAN/HSE
-silicon, collinear iron, TB09) are exercised by their dedicated physics
-tests instead (test_phonon*, test_mgga*, test_exx*, test_tb09,
-test_metals_spin).
+part actually ran to completion).  All carry the `examples` marker (the
+reference's "example" CI payload analogue; run with `pytest -m examples`)
+and `slow` (excluded from the minimal tier).  The genuinely heavy scripts
+(phonons, SCAN/HSE silicon, collinear iron, TB09, elastic constants,
+convergence studies, Hubbard U-scan) are exercised by their dedicated
+physics tests instead (test_phonon*, test_mgga*, test_exx*, test_tb09,
+test_metals_spin, test_elastic_resp, test_hamiltonian_consistency).
 """
 import pathlib
 import runpy
@@ -17,6 +19,7 @@ EXAMPLES = pathlib.Path(__file__).resolve().parent.parent / "examples"
 
 CASES = [
     ("gross_pitaevskii.py", "GPE energies"),
+    ("gross_pitaevskii_2D.py", "max in-plane current"),
     ("anyons.py", "e(1,1)"),
     ("custom_potential.py", "forces (reduced):"),
     ("custom_solvers.py", "custom criterion:"),
@@ -30,9 +33,19 @@ CASES = [
     ("polarizability.py", "alpha(He, LDA)"),
     ("hybrid_he.py", "E ="),
     ("band_structure_dos.py", "DOS at Fermi level"),
+    ("arbitrary_floattype.py", "|dE|"),
+    ("cohen_bergstresser.py", "CB silicon direct gap"),
+    ("density_methods.py", "spin guess: total magnetization"),
+    ("scf_callbacks.py", "checkpoint restart:"),
+    ("analysing_scf_convergence.py", "largest dielectric eigenvalue"),
+    ("forwarddiff.py", "dE/d(dilation)"),
+    ("exact_exchange.py", "k-point exchange folding error"),
+    ("pseudopotentials.py", "families differ by"),
+    ("geometry_optimization.py", "step"),
 ]
 
 
+@pytest.mark.examples
 @pytest.mark.slow
 @pytest.mark.parametrize("script,marker",
                          CASES, ids=[c[0][:-3] for c in CASES])

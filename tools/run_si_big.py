@@ -27,8 +27,10 @@ import jax.numpy as jnp
 
 cells = tuple(int(x) for x in sys.argv[1:4]) if len(sys.argv) > 3 else (2, 2, 2)
 Ecut = float(sys.argv[4]) if len(sys.argv) > 4 else 10.0
-# optional: run the Chebyshev filter applies at reduced matmul precision
-filter_precision = os.environ.get("DFTK_FILTER_PRECISION") or None
+# Chebyshev filter matmul precision; the engine default "mixed" (bf16
+# cycles + exact finish) is the production setting - override with
+# DFTK_FILTER_PRECISION=highest for an all-f32 A/B
+filter_precision = os.environ.get("DFTK_FILTER_PRECISION") or "mixed"
 cheb_degree = int(os.environ.get("DFTK_CHEB_DEGREE", "10"))
 cheb_cycles = int(os.environ.get("DFTK_CHEB_CYCLES", "2"))
 max_iter = int(os.environ.get("DFTK_MAXITER", "40"))
