@@ -1452,6 +1452,7 @@ def self_consistent_field_split(basis, tol=2e-5, maxiter=60, n_bands=None,
         exx_occ = jnp.where(jnp.arange(nbr)[None, :] < n_occ0,
                             jnp.asarray(filled_r, dtype=dtype), 0.0)
         exx_occ = jnp.broadcast_to(exx_occ, (basis.n_kpoints, nbr))
+    mixed_exact_latch = False
     for it in range(maxiter):
         # CheFSI finisher: drho stalling across 3 iterations means the
         # filter depth is the accuracy ceiling -- deepen it (a traced trip
@@ -1463,10 +1464,17 @@ def self_consistent_field_split(basis, tol=2e-5, maxiter=60, n_bands=None,
                 cycles_cur += 2
         # mixed-filter schedule (both counts are traced -> no recompile):
         # all-bf16 cycles while the density residual is far out, all-exact
-        # once it approaches the bf16 filter's measured ~7e-4 floor
+        # once it approaches the bf16 filter's measured ~7e-4 floor.  The
+        # switch is a LATCH, not a per-iteration test: flip-flopping
+        # between filter qualities feeds Anderson mixing residuals of two
+        # different noise floors and measurably stalls convergence
+        # (Si64 chip A/B: the memoryless schedule oscillated at drho
+        # 2e-3 <-> 6e-3 for ~20 iterations)
         if filter_precision == "mixed":
             drho_last = history[-1][1] if history else np.inf
-            n_exact_cur = 99 if drho_last < 5e-3 else 0
+            if drho_last < 5e-3:
+                mixed_exact_latch = True
+            n_exact_cur = 99 if mixed_exact_latch else 0
         else:
             n_exact_cur = 1
         (rho_out, tau_out, U, eigvals, occ, epsF,

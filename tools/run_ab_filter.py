@@ -36,9 +36,16 @@ def run_one(prec, cells, ecut):
                       r"wall = (\d+)s", out)
     refined = re.search(r"REFINED Si\d+: E = ([-\d.]+) Ha "
                         r"\(([-\d.]+) Ha/atom\)", out)
-    iters = re.findall(r"it=(\d+) ", out)
+    iters = re.findall(r"it=(\d+) E=[-\d.]+ drho=[\d.e+-]+ \[(\d+)s\]", out)
     if not final:
         return {"error": "run failed", "wall_total_s": time.time() - t0}
+    # compile-free per-iteration time: the first iteration's timestamp
+    # absorbs jit compilation (hundreds of seconds, cache-dependent), so
+    # the honest kernel-speed comparison is the slope over iterations 2..n
+    s_per_iter = None
+    if len(iters) >= 3:
+        t2, tn = float(iters[1][1]), float(iters[-1][1])
+        s_per_iter = (tn - t2) / (len(iters) - 2)
     return {
         "filter_precision": prec,
         "E_f32_chip": float(final.group(2)),
@@ -47,6 +54,7 @@ def run_one(prec, cells, ecut):
         "converged": final.group(3) == "True",
         "n_iterations": len(iters),
         "scf_wall_s": float(final.group(4)),
+        "s_per_iter_post_compile": s_per_iter,
         "natoms": int(final.group(1)),
     }
 
@@ -72,6 +80,12 @@ def main():
         "speedup_scf_wall": (a["scf_wall_s"] / b["scf_wall_s"]
                              if a.get("scf_wall_s") and b.get("scf_wall_s")
                              else None),
+        # walls include jit compilation (different programs, different
+        # compile costs) - the kernel-speed comparison is this one:
+        "speedup_s_per_iter": (
+            a["s_per_iter_post_compile"] / b["s_per_iter_post_compile"]
+            if a.get("s_per_iter_post_compile")
+            and b.get("s_per_iter_post_compile") else None),
     }
     with open(out_path, "w") as f:
         json.dump(doc, f, indent=1)
