@@ -55,6 +55,11 @@ def build_ham(basis_data, terms_data: TermsData, V_local, kin_override=None,
         kin = terms_data.kin          # blow-up kinetic (BlowupCHV/Abinit)
     else:
         kin = terms_data.kinetic_scale * basis_data.kin
+    if Apot is None:
+        # default to the terms' vector potential: every solver/response
+        # caller gets the Magnetic term without having to remember to
+        # thread it (direct_minimization/newton silently dropped it before)
+        Apot = getattr(terms_data, "Apot", None)
     need_gpk = Vtau is not None or Apot is not None
     return Ham(Gidx=basis_data.Gidx, mask=basis_data.mask, kin=kin,
                kspin=basis_data.kspin,

@@ -214,6 +214,7 @@ class TermsData(NamedTuple):
     Gsq_cart: Any         # [n1,n2,n3] |G|^2 Cartesian (for Kerker & kernels)
     kinetic_scale: Any    # scalar
     kin: Any = None       # [nk, nG] blow-up kinetic override (or None)
+    Apot: Any = None      # [n1,n2,n3,3] vector potential (Magnetic), or None
 
 
 @dataclasses.dataclass
@@ -271,7 +272,9 @@ class Terms:
             P=jnp.asarray(P), D=jnp.asarray(D),
             Gsq_cart=jnp.asarray(self.Gsq_np),
             kinetic_scale=jnp.asarray(self.kinetic_scale),
-            kin=(None if self.kin_np is None else jnp.asarray(self.kin_np)))
+            kin=(None if self.kin_np is None else jnp.asarray(self.kin_np)),
+            Apot=(None if self.Apot_np is None
+                  else jnp.asarray(self.Apot_np)))
 
 
 def instantiate_terms(basis) -> Terms:

@@ -81,11 +81,14 @@ def direct_minimization(basis, tol=1e-8, maxiter=300, psi=None,
 
     bd = basis.data
     kin = basis.terms.kinetic_scale * bd.kin
-    # NOTE: the density is NOT symmetrized here - E[rho_sym(psi)] is not
-    # variational (the projection can push rho negative and the functional
-    # can be undercut); the plain E[rho(psi)] is. Use a full (unreduced)
-    # k-grid for exact agreement with the symmetrized SCF.
-    symmetrizer = None
+    # Minimize the SAME symmetrized-density functional as the SCF driver:
+    # with a symmetry-reduced k-grid, E[rho(psi)] without symmetrization is
+    # a DIFFERENT functional whose minimizer is ~|drho| = 0.3 away on
+    # silicon (2,2,2).  Symmetrization is the linear, positivity-preserving
+    # orbit average (density.py:make_symmetrizer), so jax.grad through it
+    # is exact and the functional stays variational (reference
+    # direct_minimization works on symmetric bases the same way).
+    symmetrizer = make_symmetrizer(basis)
 
     def energy(psi):
         E, _ = energy_from_orbitals(basis, psi, occ, symmetrizer)

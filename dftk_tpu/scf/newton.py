@@ -39,7 +39,11 @@ def newton(basis, tol=1e-10, maxiter=20, cg_tol_ratio=1e-3, cg_maxiter=100,
     fft_size, volume = basis.fft_size, model.unit_cell_volume
     Gcart = jnp.asarray(basis.G_cube_cart)
     occ = jnp.full((basis.n_kpoints, n_occ), float(filled))
-    symmetrizer = None   # plain variational functional (cf. direct.py note)
+    # same symmetrized-density functional as the SCF driver: on a reduced
+    # k-grid the unsymmetrized E[rho(psi)] is a DIFFERENT functional with a
+    # different minimizer (symmetrization = positivity-preserving linear
+    # orbit average, so jax.jvp/grad through it are exact)
+    symmetrizer = make_symmetrizer(basis)
 
     # ---- warm start: a couple of cheap SCF steps -----------------------------
     if psi is None:
@@ -50,7 +54,8 @@ def newton(basis, tol=1e-10, maxiter=20, cg_tol_ratio=1e-3, cg_maxiter=100,
     psi = ortho_qr(psi)
 
     def density_of(psi):
-        return compute_density(bd, psi, occ, fft_size, volume, nspin)
+        return compute_density(bd, psi, occ, fft_size, volume, nspin,
+                               symmetrizer=symmetrizer)
 
     def ham_of(rho):
         V, energies = hamops.total_potential(terms, rho, Gcart, volume)
@@ -84,7 +89,8 @@ def newton(basis, tol=1e-10, maxiter=20, cg_tol_ratio=1e-3, cg_maxiter=100,
         def Kpart(dpsi):
             # drho = 2 sum f w Re(psi* dpsi) -> dV via exact kernel jvp
             def rho_of(p):
-                return compute_density(bd, p, occ, fft_size, volume, nspin)
+                return compute_density(bd, p, occ, fft_size, volume, nspin,
+                                       symmetrizer=symmetrizer)
             _, drho = jax.jvp(rho_of, (psi,), (dpsi,))
 
             def pot(r):
