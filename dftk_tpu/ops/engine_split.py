@@ -1109,7 +1109,8 @@ def self_consistent_field_split(basis, tol=2e-5, maxiter=60, n_bands=None,
                                 mesh=None, band_repr="complex",
                                 rho0=None, U0=None, adaptive_bands=None,
                                 occupation_threshold=1e-6,
-                                compact_filter=True, use_ace=True):
+                                compact_filter=True, use_ace=True,
+                                stall_patience=8):
     """SCF in the realified split engine (f32, complex-free device code).
 
     band_repr: "complex" (default) iterates nb complex bands as realified
@@ -1127,6 +1128,16 @@ def self_consistent_field_split(basis, tol=2e-5, maxiter=60, n_bands=None,
     "highest" forces every filter cycle exact; None inherits apply_H's
     default (exact).  On CPU backends all settings are numerically
     identical (no bf16 matmul passes).
+
+    stall_patience: when the best density residual has not improved for
+    this many consecutive iterations (after the CheFSI depth boosts and
+    the exact-filter latch have had their chance to act), the run has hit
+    the engine's fixed-point noise floor - typically the f32 density
+    floor on large Gamma cells, where no amount of further iteration
+    helps (measured at Si256: drho plateaus near 4e-4 while tol=2e-6).
+    The loop then exits early and returns the best iterate, exactly the
+    state the full-maxiter run would have returned, with
+    ``stalled=True`` in the result.  None disables the early exit.
 
     Returns a dict (energies, eigenvalues, rho, U, ...).
     """
@@ -1439,6 +1450,7 @@ def self_consistent_field_split(basis, tol=2e-5, maxiter=60, n_bands=None,
     history = []
     info = None
     best_info, best_drho, best_U = None, np.inf, None
+    best_it, stalled = -1, False
     damping_cur = float(damping)
     eps_r_cur = float(mixing_eps_r) if mixing_eps_r is not None else 0.0
     n_E_up = 0
@@ -1542,8 +1554,19 @@ def self_consistent_field_split(basis, tol=2e-5, maxiter=60, n_bands=None,
         # oscillates; return the LOWEST-residual state, not the last one
         if not grew_bands and (best_info is None or drho < best_drho):
             best_drho, best_info, best_U = drho, info, U
+            best_it = it
         if converged:
             rho = rho_out
+            break
+        # fixed-point noise-floor exit (see docstring): no new best
+        # residual in `stall_patience` iterations despite the depth boosts
+        # above => further iterations only re-sample the floor.  Exits
+        # with the best iterate, the same state maxiter would return.
+        if (stall_patience is not None and not grew_bands
+                and it - best_it >= stall_patience):
+            stalled = True
+            if callback:
+                callback(dict(n_iter=it + 1, stalled_at_floor=best_drho))
             break
         rho = rho_mixed
         tau = tau_out          # tau follows psi (no separate mixing)
@@ -1569,6 +1592,7 @@ def self_consistent_field_split(basis, tol=2e-5, maxiter=60, n_bands=None,
                 exx_occ = jnp.pad(exx_occ, ((0, 0), (0, add)))
             nbr = nbr_new
             n_bands = n_bands + add_b        # scf_step closure reads these
+            best_it = it          # fresh stall patience for the new width
             if callback:
                 callback(dict(n_iter=it + 1, adaptive_bands=nbr))
 
@@ -1584,7 +1608,7 @@ def self_consistent_field_split(basis, tol=2e-5, maxiter=60, n_bands=None,
         ev = ev[:, ::2]                 # deduplicate the spectrum pairing
     return dict(energies=energies_out, eigenvalues=ev, U=U,
                 rho=rho_out, tau=tau_out, epsF=float(epsF),
-                converged=converged,
+                converged=converged, stalled=stalled,
                 occupation=occ,       # per U row (f/2 in "paired" repr)
                 n_iter=it + 1, history=history, basis=basis,
                 runtime_s=_time.time() - t0)

@@ -127,6 +127,26 @@ def test_chefsi_mixed_filter_default_ab():
                - r_exact["energies"]["total"]) < 1e-6
 
 
+def test_split_scf_stall_exit_returns_best_iterate():
+    """Noise-floor stall exit: an unreachable density tolerance (1e-12 in
+    f32) must NOT burn maxiter iterations re-sampling the floor.  The run
+    exits once the best residual stops improving for `stall_patience`
+    iterations, flags stalled=True, and returns the best iterate - whose
+    energy matches the normally-converged run (this is the Si256
+    north-star behavior, SI256_r05.json, at test scale)."""
+    from testcases import make_silicon_model
+    m = make_silicon_model()
+    b = dftk.PlaneWaveBasis(m, Ecut=6.0, kgrid=(1, 1, 1))
+    kw = dict(maxiter=80, eigensolver="chefsi", chebyshev_degree=8,
+              chefsi_cycles=2, dtype=jnp.float32, is_converged="density")
+    r_ref = self_consistent_field_split(b, tol=1e-6, **kw)
+    assert r_ref["converged"] and not r_ref["stalled"]
+    r = self_consistent_field_split(b, tol=1e-12, stall_patience=4, **kw)
+    assert r["stalled"] and not r["converged"]
+    assert r["n_iter"] < kw["maxiter"]
+    assert abs(r["energies"]["total"] - r_ref["energies"]["total"]) < 1e-5
+
+
 def test_pallas_fused_local_matches_xla(si_setup):
     """The fused Pallas local-apply kernel (interpret mode on CPU) equals
     the XLA dot_general chain bit-for-bit at f64."""
