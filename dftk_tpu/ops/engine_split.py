@@ -1110,7 +1110,7 @@ def self_consistent_field_split(basis, tol=2e-5, maxiter=60, n_bands=None,
                                 rho0=None, U0=None, adaptive_bands=None,
                                 occupation_threshold=1e-6,
                                 compact_filter=True, use_ace=True,
-                                stall_patience=8):
+                                stall_patience=None):
     """SCF in the realified split engine (f32, complex-free device code).
 
     band_repr: "complex" (default) iterates nb complex bands as realified
@@ -1129,15 +1129,19 @@ def self_consistent_field_split(basis, tol=2e-5, maxiter=60, n_bands=None,
     default (exact).  On CPU backends all settings are numerically
     identical (no bf16 matmul passes).
 
-    stall_patience: when the best density residual has not improved for
-    this many consecutive iterations (after the CheFSI depth boosts and
-    the exact-filter latch have had their chance to act), the run has hit
+    stall_patience: OPT-IN early exit for runs expected to bottom out at
     the engine's fixed-point noise floor - typically the f32 density
     floor on large Gamma cells, where no amount of further iteration
-    helps (measured at Si256: drho plateaus near 4e-4 while tol=2e-6).
-    The loop then exits early and returns the best iterate, exactly the
-    state the full-maxiter run would have returned, with
-    ``stalled=True`` in the result.  None disables the early exit.
+    helps (measured at Si256: drho plateaus near 4e-4 while tol=2e-6,
+    tools/run_si_big.py enables this).  When the best density residual
+    has not improved for this many consecutive iterations (patience
+    resets whenever a CheFSI depth boost, the exact-filter latch, or a
+    band-window growth changes the accuracy ceiling), the loop exits
+    early and returns the best iterate with ``stalled=True``.  Default
+    None = disabled: slowly-but-genuinely converging flows (e.g. HF/ACE,
+    whose residual is non-monotone across exchange-operator updates) can
+    legitimately go >8 iterations without a new best residual, so the
+    exit must be requested, not assumed.
 
     Returns a dict (energies, eigenvalues, rho, U, ...).
     """
@@ -1474,6 +1478,7 @@ def self_consistent_field_split(basis, tol=2e-5, maxiter=60, n_bands=None,
             d3 = [h[1] for h in history[-3:]]
             if len(d3) == 3 and d3[2] > 0.7 * d3[0]:
                 cycles_cur += 2
+                best_it = it       # deeper filter: fresh stall patience
         # mixed-filter schedule (both counts are traced -> no recompile):
         # all-bf16 cycles while the density residual is far out, all-exact
         # once it approaches the bf16 filter's measured ~7e-4 floor.  The
@@ -1484,8 +1489,9 @@ def self_consistent_field_split(basis, tol=2e-5, maxiter=60, n_bands=None,
         # 2e-3 <-> 6e-3 for ~20 iterations)
         if filter_precision == "mixed":
             drho_last = history[-1][1] if history else np.inf
-            if drho_last < 5e-3:
+            if drho_last < 5e-3 and not mixed_exact_latch:
                 mixed_exact_latch = True
+                best_it = it       # exact filter: fresh stall patience
             n_exact_cur = 99 if mixed_exact_latch else 0
         else:
             n_exact_cur = 1

@@ -35,6 +35,11 @@ cheb_degree = int(os.environ.get("DFTK_CHEB_DEGREE", "10"))
 cheb_cycles = int(os.environ.get("DFTK_CHEB_CYCLES", "2"))
 max_iter = int(os.environ.get("DFTK_MAXITER", "40"))
 tol_drho = float(os.environ.get("DFTK_TOL_DRHO", "2e-6"))
+# North-star flow runs to the f32 density floor (~4e-4 at Si256) which sits
+# above tol_drho: opt into the noise-floor stall exit so the run returns the
+# best iterate as soon as the floor is established instead of burning the
+# full maxiter re-sampling it.  0 disables.
+stall_patience = int(os.environ.get("DFTK_STALL_PATIENCE", "8")) or None
 
 import dftk_tpu as dftk
 from dftk_tpu.supercell import create_supercell
@@ -85,10 +90,13 @@ res = self_consistent_field_split(
     chefsi_cycles=cheb_cycles,
     # mixing eps_r and damping: autopilot (Penn-model estimate + backoff)
     band_chunk=256, is_converged="density",
-    filter_precision=filter_precision,
-    callback=lambda i: print(f"  it={i['n_iter']} E={i['E']:.6f} "
-                             f"drho={i['drho']:.2e} [{time.time()-t0:.0f}s]",
-                             flush=True))
+    filter_precision=filter_precision, stall_patience=stall_patience,
+    callback=lambda i: print(
+        (f"  it={i['n_iter']} E={i['E']:.6f} "
+         f"drho={i['drho']:.2e} [{time.time()-t0:.0f}s]") if "E" in i
+        else f"  it={i['n_iter']} {dict(list(i.items())[1:])} "
+             f"[{time.time()-t0:.0f}s]",
+        flush=True))
 print(f"FINAL Si{natoms}: E = {res['energies']['total']:.6f} Ha "
       f"({res['energies']['total']/natoms:.6f} Ha/atom), converged="
       f"{res['converged']}, wall = {time.time()-t0:.0f}s", flush=True)
