@@ -1136,7 +1136,10 @@ def self_consistent_field_split(basis, tol=2e-5, maxiter=60, n_bands=None,
     tools/run_si_big.py enables this).  When the best density residual
     has not improved for this many consecutive iterations (patience
     resets whenever a CheFSI depth boost, the exact-filter latch, or a
-    band-window growth changes the accuracy ceiling), the loop exits
+    band-window growth changes the accuracy ceiling, and the exit is
+    suppressed while the residual is strictly descending across the last
+    three iterations - an active descent is convergence, not
+    floor-sampling), the loop exits
     early and returns the best iterate with ``stalled=True``.  Default
     None = disabled: slowly-but-genuinely converging flows (e.g. HF/ACE,
     whose residual is non-monotone across exchange-operator updates) can
@@ -1568,7 +1571,17 @@ def self_consistent_field_split(basis, tol=2e-5, maxiter=60, n_bands=None,
         # residual in `stall_patience` iterations despite the depth boosts
         # above => further iterations only re-sample the floor.  Exits
         # with the best iterate, the same state maxiter would return.
-        if (stall_patience is not None and not grew_bands
+        # Guard: a strictly-descending recent residual means the run is
+        # actively converging, NOT floor-sampling - the global best may
+        # be a stale dip from the bf16 filter's (higher) noise floor
+        # before the exact latch, which the exact-filter descent takes
+        # more than `stall_patience` iterations to beat (observed at
+        # Si256: best 4.1e-3 from the bf16 phase, exact-phase descent cut
+        # off at 4.7e-3 while dropping ~20 %/iter toward the 4e-4 floor).
+        dlast3 = [h[1] for h in history[-3:]]
+        descending = (len(dlast3) == 3
+                      and dlast3[2] < dlast3[1] < dlast3[0])
+        if (stall_patience is not None and not grew_bands and not descending
                 and it - best_it >= stall_patience):
             stalled = True
             if callback:
