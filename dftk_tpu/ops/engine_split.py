@@ -1457,7 +1457,13 @@ def self_consistent_field_split(basis, tol=2e-5, maxiter=60, n_bands=None,
     history = []
     info = None
     best_info, best_drho, best_U = None, np.inf, None
-    best_it, stalled = -1, False
+    stalled = False
+    # stall-exit reference: best residual SINCE THE LAST accuracy-ceiling
+    # event (depth boost / exact-filter latch / band growth), NOT the
+    # global best - a dip recorded on the bf16 filter's noise floor is a
+    # stale reference once the exact latch changes the landscape, and
+    # measuring patience against it exits mid-recovery (observed Si256)
+    stall_best, stall_it = np.inf, -1
     damping_cur = float(damping)
     eps_r_cur = float(mixing_eps_r) if mixing_eps_r is not None else 0.0
     n_E_up = 0
@@ -1481,7 +1487,7 @@ def self_consistent_field_split(basis, tol=2e-5, maxiter=60, n_bands=None,
             d3 = [h[1] for h in history[-3:]]
             if len(d3) == 3 and d3[2] > 0.7 * d3[0]:
                 cycles_cur += 2
-                best_it = it       # deeper filter: fresh stall patience
+                stall_best, stall_it = np.inf, it   # fresh stall patience
         # mixed-filter schedule (both counts are traced -> no recompile):
         # all-bf16 cycles while the density residual is far out, all-exact
         # once it approaches the bf16 filter's measured ~7e-4 floor.  The
@@ -1494,7 +1500,7 @@ def self_consistent_field_split(basis, tol=2e-5, maxiter=60, n_bands=None,
             drho_last = history[-1][1] if history else np.inf
             if drho_last < 5e-3 and not mixed_exact_latch:
                 mixed_exact_latch = True
-                best_it = it       # exact filter: fresh stall patience
+                stall_best, stall_it = np.inf, it   # fresh stall patience
             n_exact_cur = 99 if mixed_exact_latch else 0
         else:
             n_exact_cur = 1
@@ -1563,7 +1569,8 @@ def self_consistent_field_split(basis, tol=2e-5, maxiter=60, n_bands=None,
         # oscillates; return the LOWEST-residual state, not the last one
         if not grew_bands and (best_info is None or drho < best_drho):
             best_drho, best_info, best_U = drho, info, U
-            best_it = it
+        if not grew_bands and drho < stall_best:
+            stall_best, stall_it = drho, it
         if converged:
             rho = rho_out
             break
@@ -1582,10 +1589,10 @@ def self_consistent_field_split(basis, tol=2e-5, maxiter=60, n_bands=None,
         descending = (len(dlast3) == 3
                       and dlast3[2] < dlast3[1] < dlast3[0])
         if (stall_patience is not None and not grew_bands and not descending
-                and it - best_it >= stall_patience):
+                and it - stall_it >= stall_patience):
             stalled = True
             if callback:
-                callback(dict(n_iter=it + 1, stalled_at_floor=best_drho))
+                callback(dict(n_iter=it + 1, stalled_at_floor=stall_best))
             break
         rho = rho_mixed
         tau = tau_out          # tau follows psi (no separate mixing)
@@ -1611,7 +1618,7 @@ def self_consistent_field_split(basis, tol=2e-5, maxiter=60, n_bands=None,
                 exx_occ = jnp.pad(exx_occ, ((0, 0), (0, add)))
             nbr = nbr_new
             n_bands = n_bands + add_b        # scf_step closure reads these
-            best_it = it          # fresh stall patience for the new width
+            stall_best, stall_it = np.inf, it   # fresh stall patience
             if callback:
                 callback(dict(n_iter=it + 1, adaptive_bands=nbr))
 
